@@ -6,13 +6,23 @@ tests use XLA's host-platform device virtualization.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects a TPU plugin
+# (JAX_PLATFORMS=axon, registered by a sitecustomize that imports jax
+# before this file runs): correctness tests need float64 and virtual
+# devices, so override via jax.config, which works post-import as long as
+# no backend has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "true")
+os.environ["JAX_ENABLE_X64"] = "true"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
