@@ -1,0 +1,154 @@
+"""CellSearch command-line interface.
+
+reference: src/CellSearch.cpp:92-280 (argument parsing + sanity checks)
+and :437-618 (the sweep driver + result table with the crystal correction
+factor).
+
+Usage examples:
+    python -m lte_cell_scanner_tpu.search.cli \
+        --freq-start 739e6 --load --data-dir /root/reference/test
+    python -m lte_cell_scanner_tpu.search.cli \
+        --freq-start 739e6 --simulate --backend jax
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from lte_cell_scanner_tpu.io.capture import CaptureSource
+from lte_cell_scanner_tpu.search.cell_search import (
+    cell_search,
+    dedup,
+    generate_search_sets,
+)
+from lte_cell_scanner_tpu.utils.dsp import db10
+
+
+def freq_formatter(freq: float) -> str:
+    """Compact frequency with unit suffix (reference: CellSearch.cpp:322)."""
+    for limit, div, suffix in ((998.0, 1.0, "h"), (998e3, 1e3, "k"),
+                               (998e6, 1e6, "m"), (998e9, 1e9, "g")):
+        if abs(freq) < limit:
+            return f"{freq / div:5.3g}{suffix}"
+    return str(freq)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="CellSearch",
+        description="Search a range of frequencies for LTE cells.")
+    p.add_argument("-s", "--freq-start", type=float, required=True,
+                   help="frequency where the search should start (Hz)")
+    p.add_argument("-e", "--freq-end", type=float, default=None,
+                   help="frequency where the search should end "
+                        "(default: freq-start)")
+    p.add_argument("-p", "--ppm", type=float, default=120,
+                   help="crystal remaining frequency error (ppm, default 120)")
+    p.add_argument("-c", "--correction", type=float, default=1.0,
+                   help="crystal correction factor from a previous run")
+    p.add_argument("-r", "--record", action="store_true",
+                   help="record captured data to data-dir")
+    p.add_argument("-l", "--load", action="store_true",
+                   help="load captured data from data-dir instead of the SDR")
+    p.add_argument("--simulate", action="store_true",
+                   help="use the built-in eNodeB simulator as the capture "
+                        "source")
+    p.add_argument("-d", "--data-dir", default=".",
+                   help="directory for recorded/loaded captures")
+    p.add_argument("-i", "--device-index", type=int, default=0,
+                   help="SDR device index (live capture only)")
+    p.add_argument("-v", "--verbose", action="count", default=1)
+    p.add_argument("-b", "--brief", action="store_true",
+                   help="only print the final result table")
+    p.add_argument("--backend", choices=("numpy", "jax"), default="jax",
+                   help="compute backend for the PSS scan (default jax)")
+    p.add_argument("--interp", choices=("hex", "freq_time", "2stage"),
+                   default="hex", help="channel-estimate interpolator")
+    return p
+
+
+def validate(args) -> None:
+    if args.freq_end is None:
+        args.freq_end = args.freq_start
+    if args.freq_end < args.freq_start:
+        sys.exit("Error: end frequency must be >= start frequency")
+    if args.record and args.load:
+        sys.exit("Error: record and load are mutually exclusive")
+    if args.ppm < 0:
+        sys.exit("Error: ppm must be non-negative")
+    # Round to the 100 kHz raster like the reference.
+    for name in ("freq_start", "freq_end"):
+        f = getattr(args, name)
+        r = round(f / 100e3) * 100e3
+        if r != f:
+            print(f"Warning: {name.replace('_', ' ')} rounded to the "
+                  f"100 kHz raster: {r / 1e6:.4g} MHz")
+            setattr(args, name, r)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    validate(args)
+    verbosity = 0 if args.brief else args.verbose
+
+    fc_search_set, f_search_set = generate_search_sets(
+        args.freq_start, args.freq_end, args.ppm)
+    if verbosity >= 2:
+        print(f"Searching {len(fc_search_set)} center frequencies x "
+              f"{len(f_search_set)} offset hypotheses")
+
+    if args.simulate:
+        source = CaptureSource("simulator", data_dir=args.data_dir,
+                               record=args.record)
+    elif args.load:
+        source = CaptureSource("file", data_dir=args.data_dir)
+    else:
+        source = CaptureSource("rtlsdr", data_dir=args.data_dir,
+                               record=args.record,
+                               correction=args.correction)
+
+    all_cells = []
+    for fc_requested in fc_search_set:
+        if verbosity >= 1:
+            print(f"Examining center frequency {fc_requested / 1e6:.4g} MHz ...")
+        t0 = time.time()
+        try:
+            capbuf, fc_programmed = source.capture(fc_requested)
+        except FileNotFoundError as e:
+            sys.exit(f"Error: no recorded capture to load: {e.filename}")
+        cells = cell_search(capbuf, fc_requested, fc_programmed,
+                            f_search_set=f_search_set, backend=args.backend,
+                            interp=args.interp, verbose=verbosity)
+        if verbosity >= 2:
+            print(f"  ({time.time() - t0:.2f}s)")
+        all_cells.extend(cells)
+
+    cells_final = dedup(all_cells)
+    if not cells_final:
+        print("No LTE cells were found...")
+        return 1
+
+    print("Detected the following cells:")
+    print("A: #antenna ports C: CP type ; P: PHICH duration ; "
+          "PR: PHICH resource type")
+    print("CID A      fc   foff RXPWR C nRB P  PR CrystalCorrectionFactor")
+    for c in cells_final:
+        cp = {"normal": "N", "extended": "E"}.get(c.cp_type, "U")
+        ph = {"normal": "N", "extended": "E"}.get(c.phich_duration, "U")
+        pr = {1 / 6: "1/6", 1 / 2: "1/2", 1.0: "one", 2.0: "two"}.get(
+            c.phich_resource, "UNK")
+        crystal_actual = c.fc_requested - c.freq_superfine
+        correction_new = args.correction * (c.fc_requested / crystal_actual)
+        print(f"{c.n_id_cell():3d} {c.n_ports:1d} "
+              f"{c.fc_requested / 1e6:6.5g}M {freq_formatter(c.freq_superfine)} "
+              f"{db10(c.pss_pow):5.3g} {cp} {c.n_rb_dl:3d} {ph} {pr} "
+              f"{correction_new:.20g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
