@@ -1,0 +1,169 @@
+"""Sample feeder: raw IQ stream -> fractional LTE clock -> symbol windows.
+
+reference: src/producer_thread.cpp:59-252. The feeder advances a fractional
+"LTE sample clock" mod 19200 by (FS_LTE/16)/(fs_programmed*k_factor) per
+received sample — software resampling by index arithmetic. It fills the
+searcher's capture buffer when the clock crosses zero and a request is
+pending, and per tracked cell captures 128-sample OFDM-symbol windows
+starting at frame_timing + target_cap_start_time (cyclic prefixes are
+skipped by advancing the target by 128+{9,10,32}).
+
+A C++ implementation of the same state machine (native/feeder.cpp) can be
+swapped in for the byte-stream hot path; this NumPy one is the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from lte_cell_scanner_tpu.constants import FRAME, FS_LTE
+from lte_cell_scanner_tpu.tracker.state import GlobalState, SymbolPDU, TrackedCell
+
+
+@dataclasses.dataclass
+class _CellCapture:
+    """Per-cell symbol-window capture state (reference: cell_local_t)."""
+
+    serial_num: int = 0
+    slot_num: int = 0
+    sym_num: int = 0
+    target_cap_start_time: float = 0.0
+    filling: bool = False
+    buffer: Optional[np.ndarray] = None
+    buffer_offset: int = 0
+    late: float = 0.0
+    frequency_offset: float = 0.0
+    frame_timing: float = 0.0
+
+
+def slot_sym_inc(n_symb_dl: int, slot_num: int, sym_num: int):
+    sym_num = (sym_num + 1) % n_symb_dl
+    if sym_num == 0:
+        slot_num = (slot_num + 1) % 20
+    return slot_num, sym_num
+
+
+class SampleFeeder:
+    """Distributes a continuous sample stream to searcher + cell trackers."""
+
+    def __init__(self, state: GlobalState, searcher_capbuf_len: int = FRAME * 8):
+        self.state = state
+        self.sample_time = -1.0
+        self.searcher_capbuf_len = searcher_capbuf_len
+        self.searcher_request = False
+        self.searcher_filling = False
+        self.searcher_capbuf = np.zeros(searcher_capbuf_len, dtype=complex)
+        self.searcher_idx = 0
+        self.searcher_late = 0.0
+        self.searcher_ready: Optional[np.ndarray] = None
+        self._cells: Dict[int, _CellCapture] = {}
+
+    def request_searcher_capture(self) -> None:
+        self.searcher_request = True
+
+    def take_searcher_capture(self) -> Optional[np.ndarray]:
+        buf, self.searcher_ready = self.searcher_ready, None
+        return buf
+
+    def feed(self, samples: np.ndarray, cells: List[TrackedCell]) -> None:
+        """Process one block of complex samples at fs_programmed*k_factor."""
+        fo = self.state.frequency_offset
+        k_factor = self.state.k_factor()
+        step = (FS_LTE / 16) / (self.state.fs_programmed * k_factor)
+
+        n = len(samples)
+        ts = self.sample_time + step * np.arange(1, n + 1)
+        # wrap mod 19200 (same incremental subtraction as the reference;
+        # a single mod is equivalent for step < 19200)
+        ts = np.where(ts > FRAME, ts - FRAME, ts)
+        # Successive blocks can still drift above 19200 across the block
+        # boundary; normalize fully.
+        ts = np.mod(ts, FRAME)
+        self.sample_time = float(ts[-1])
+
+        # ---- searcher capture buffer
+        if self.searcher_request or self.searcher_filling:
+            self._feed_searcher(samples, ts)
+
+        # ---- per-cell symbol windows
+        for cell in cells:
+            if cell.kill_me:
+                self._cells.pop(cell.n_id_cell, None)
+                continue
+            self._feed_cell(cell, samples, ts, fo)
+
+    # -- internals ---------------------------------------------------------
+
+    def _feed_searcher(self, samples: np.ndarray, ts: np.ndarray) -> None:
+        n = len(samples)
+        start = 0
+        if self.searcher_request and not self.searcher_filling:
+            # Trigger when the LTE clock crosses 0 (within half a sample).
+            d = np.mod(ts + FRAME / 2, FRAME) - FRAME / 2
+            hits = np.nonzero(np.abs(d) < 0.5)[0]
+            if len(hits) == 0:
+                return
+            start = int(hits[0])
+            self.searcher_request = False
+            self.searcher_filling = True
+            self.searcher_idx = 0
+            self.searcher_late = float(d[start])
+        if self.searcher_filling:
+            take = min(n - start, self.searcher_capbuf_len - self.searcher_idx)
+            self.searcher_capbuf[self.searcher_idx:self.searcher_idx + take] = \
+                samples[start:start + take]
+            self.searcher_idx += take
+            if self.searcher_idx == self.searcher_capbuf_len:
+                self.searcher_filling = False
+                self.searcher_ready = self.searcher_capbuf.copy()
+
+    def _feed_cell(self, cell: TrackedCell, samples: np.ndarray,
+                   ts: np.ndarray, fo: float) -> None:
+        cl = self._cells.get(cell.n_id_cell)
+        if cl is None or cl.serial_num != cell.serial_num:
+            cl = _CellCapture(serial_num=cell.serial_num)
+            cl.target_cap_start_time = 10 if cell.cp_type == "normal" else 32
+            cl.buffer = np.zeros(128, dtype=complex)
+            self._cells[cell.n_id_cell] = cl
+
+        frame_timing = cell.frame_timing
+        n = len(samples)
+        t = 0
+        while t < n:
+            if not cl.filling:
+                target = frame_timing + cl.target_cap_start_time
+                d = np.mod(ts[t:] - target + FRAME / 2, FRAME) - FRAME / 2
+                # Trigger on |diff| < 0.5, or 0 < diff < 3 (missed the ideal
+                # start because frame timing moved).
+                hit = np.nonzero((np.abs(d) < 0.5) | ((d > 0) & (d < 3)))[0]
+                if len(hit) == 0:
+                    return
+                t = t + int(hit[0])
+                cl.filling = True
+                cl.late = float(d[hit[0]])
+                cl.buffer_offset = 0
+                cl.frequency_offset = fo
+                cl.frame_timing = frame_timing
+            take = min(n - t, 128 - cl.buffer_offset)
+            cl.buffer[cl.buffer_offset:cl.buffer_offset + take] = \
+                samples[t:t + take]
+            cl.buffer_offset += take
+            t += take
+            if cl.buffer_offset == 128:
+                cell.push_pdu(SymbolPDU(
+                    data=cl.buffer.copy(), slot_num=cl.slot_num,
+                    sym_num=cl.sym_num, late=cl.late,
+                    frequency_offset=cl.frequency_offset,
+                    frame_timing=cl.frame_timing))
+                cl.filling = False
+                if cell.cp_type == "extended":
+                    cl.target_cap_start_time += 32 + 128
+                else:
+                    cl.target_cap_start_time += (128 + 10) if cl.sym_num == 6 \
+                        else (128 + 9)
+                cl.target_cap_start_time %= FRAME
+                cl.slot_num, cl.sym_num = slot_sym_inc(
+                    cell.n_symb_dl, cl.slot_num, cl.sym_num)

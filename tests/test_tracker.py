@@ -1,0 +1,100 @@
+"""Tracker runtime tests: acquisition, tracking loops, drop-and-reacquire.
+
+The dongle is mocked at the byte-FIFO level exactly like the reference
+(src/LTE-Tracker.cpp:833-866): synthesized captures are re-quantized to
+uint8 and pushed through the same path as live USB data.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from lte_cell_scanner_tpu.io.simulator import synthetic_capture
+from lte_cell_scanner_tpu.tracker import LTETracker
+from lte_cell_scanner_tpu.tracker.runtime import playback_source
+
+
+@pytest.fixture(scope="module")
+def sim_signal():
+    return synthetic_capture(n_id_1=90, n_id_2=1, snr_db=15,
+                             freq_offset=4e3, n_subframes=400,
+                             sfn_start=0, seed=5)
+
+
+def test_kalibrate_and_track(sim_signal):
+    events = []
+    trk = LTETracker(739e6, on_event=lambda k, i: events.append((k, i)))
+    fo = trk.kalibrate(playback_source(sim_signal), ppm=10)
+    assert abs(fo - 4000) < 20
+
+    trk.run(playback_source(sim_signal), max_blocks=400)
+    st = trk.status()
+    assert [k for k, _ in events][:2] == ["kalibrate", "cell_acquired"]
+    assert len(st["cells"]) == 1
+    c = st["cells"][0]
+    assert c["n_id_cell"] == 271
+    assert c["n_rb_dl"] == 50
+    assert c["health"] == 1.0
+    assert c["mib_successes"] > 10
+    # The FOE loop keeps the global FO locked to the true offset.
+    assert abs(st["frequency_offset"] - 4000) < 20
+    # SNR measurement in the right ballpark (15 dB signal).
+    assert 12 < c["sync_snr_db"] < 24
+
+
+def test_frame_timing_stability(sim_signal):
+    """Frame timing must not drift while tracking a clean loop."""
+    trk = LTETracker(739e6, initial_freq_offset=4000.0)
+    trk.run(playback_source(sim_signal), max_blocks=250)
+    assert trk.cells, "cell was not acquired"
+    ft1 = trk.cells[0].frame_timing
+    trk.run(playback_source(sim_signal, seed=2), max_blocks=150)
+    ft2 = trk.cells[0].frame_timing
+    assert abs((ft2 - ft1 + 9600) % 19200 - 9600) < 1.0
+
+
+def test_drop_and_reacquire(sim_signal):
+    """Losing the signal drops the cell; its return re-acquires it."""
+    events = []
+    trk = LTETracker(739e6, initial_freq_offset=4000.0,
+                     on_event=lambda k, i: events.append(k),
+                     drop_threshold=4)
+    trk.run(playback_source(sim_signal), max_blocks=250)
+    assert [e for e in events if e == "cell_acquired"]
+
+    # Signal replaced by pure noise: MIB decodes fail, health decays, the
+    # cell is dropped and reaped.
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(len(sim_signal))
+             + 1j * rng.standard_normal(len(sim_signal))) * 0.3
+    trk.run(playback_source(noise), max_blocks=1200)
+    assert "cell_dropped" in events
+    assert not trk.cells
+
+    # Signal returns: the searcher re-acquires the same cell.
+    trk.run(playback_source(sim_signal), max_blocks=600)
+    assert events.count("cell_acquired") >= 2
+    assert trk.cells and trk.cells[0].n_id_cell == 271
+
+
+def test_overload_drops_seconds(sim_signal):
+    """A tracker that cannot keep up dumps whole seconds of symbols."""
+    trk = LTETracker(739e6, initial_freq_offset=4000.0)
+    trk.run(playback_source(sim_signal), max_blocks=250)
+    assert trk.cells
+    cell = trk.cells[0]
+    tracker = trk.trackers[cell.n_id_cell]
+    # Simulate a backlog: stuff the fifo beyond 1.5 s of symbols.
+    pdu = cell.fifo[-1] if cell.fifo else None
+    if pdu is None:
+        from lte_cell_scanner_tpu.tracker.state import SymbolPDU
+
+        pdu = SymbolPDU(np.zeros(128, dtype=complex), 0, 0, 0.0,
+                        4000.0, cell.frame_timing)
+    n_1s = cell.n_symb_dl * 2 * 1000
+    for _ in range(int(n_1s * 1.6)):
+        cell.fifo.append(pdu)
+    before = trk.state.cell_seconds_dropped
+    tracker.process_available()
+    assert trk.state.cell_seconds_dropped > before
