@@ -72,6 +72,19 @@ def sss_fd(n_id_1: int, n_id_2: int, slot_num: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def sss_td(n_id_1: int, n_id_2: int, slot_num: int) -> np.ndarray:
+    """Time-domain SSS: 62 subcarriers on a 128-point IDFT grid, scaled by
+    sqrt(128/62), with a 9-sample cyclic prefix -> 137 complex samples.
+
+    reference: src/lte_lib.cpp:277-300 (same grid mapping as PSS_td; not
+    used by the search pipeline, provided for API parity).
+    """
+    from lte_cell_scanner_tpu.models.pss import _fd_to_td
+
+    return _fd_to_td(sss_fd(n_id_1, n_id_2, slot_num).astype(complex))
+
+
 @functools.lru_cache(maxsize=4)
 def sss_fd_all(n_id_2: int) -> np.ndarray:
     """(168, 2, 62) table of all SSS for one n_id_2 (axis 1: slot 0, slot 10)."""

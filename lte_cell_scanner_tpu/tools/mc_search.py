@@ -1,0 +1,165 @@
+"""Monte-Carlo statistical test harness for the full search pipeline.
+
+Reproduces Matlab/pss_search_final.m: run many randomized trials — random
+cell identity, CP type, slot timing, traffic load, timing/frequency offset,
+optional multipath and AWGN — through signal generation, channel
+impairment, and the complete search pipeline, and log detection /
+false-alarm / MIB-success statistics. Because this framework's simulator
+encodes a real PBCH (io/simulator.py), the harness validates the MIB stage
+too, which the reference's harness could not (its measured stages stop at
+sync; Matlab/pss_search_final.m:78-127, 341-363).
+
+Usage:
+    python -m lte_cell_scanner_tpu.tools.mc_search --trials 20 \
+        --snr-db -5 [--fading] [--backend jax] [--seed 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+
+from lte_cell_scanner_tpu.io.simulator import (
+    MibConfig,
+    apply_channel,
+    create_dl_sig,
+)
+from lte_cell_scanner_tpu.search.cell_search import cell_search
+
+
+@dataclasses.dataclass
+class TrialResult:
+    n_id_cell: int
+    cp_type: str
+    snr_db: float
+    detected: bool          # correct cell ID returned
+    mib_ok: bool            # ... with exact MIB fields
+    false_cells: int        # other cell IDs returned
+    freq_err_hz: float      # |freq_superfine - true offset| if detected
+    elapsed_s: float
+
+
+@dataclasses.dataclass
+class McStats:
+    trials: int = 0
+    detections: int = 0
+    mib_successes: int = 0
+    false_cells: int = 0
+    freq_errs: list = dataclasses.field(default_factory=list)
+
+    def add(self, r: TrialResult):
+        self.trials += 1
+        self.detections += r.detected
+        self.mib_successes += r.mib_ok
+        self.false_cells += r.false_cells
+        if r.detected and np.isfinite(r.freq_err_hz):
+            self.freq_errs.append(r.freq_err_hz)
+
+    def summary(self) -> str:
+        if not self.trials:
+            return "no trials"
+        lines = [
+            f"trials:            {self.trials}",
+            f"detection rate:    {self.detections / self.trials:.1%}",
+            f"MIB success rate:  {self.mib_successes / self.trials:.1%}",
+            f"false cells:       {self.false_cells}",
+        ]
+        if self.freq_errs:
+            lines.append(f"freq err (med):    "
+                         f"{np.median(self.freq_errs):.1f} Hz")
+        return "\n".join(lines)
+
+
+def run_trial(rng: np.random.Generator, snr_db: Optional[float],
+              fading: bool = False, backend: str = "numpy",
+              ppm: float = 30.0, fc: float = 739e6,
+              n_subframes: int = 80, load_factor: Optional[float] = None,
+              verbose: int = 0) -> TrialResult:
+    """One randomized end-to-end trial.
+
+    The frequency-offset draw spans the +/-ppm crystal error the search
+    grid is sized for (src/CellSearch.cpp:463-465); delay is uniform over a
+    frame; multipath (if enabled) is a 3-tap exponential-decay Rayleigh
+    channel like pss_search_final.m's fading case.
+    """
+    n_id_1 = int(rng.integers(0, 168))
+    n_id_2 = int(rng.integers(0, 3))
+    cp_type = "normal" if rng.random() < 0.5 else "extended"
+    slot_start = int(rng.integers(0, 10)) * 2
+    load = float(rng.uniform(0.1, 1.0)) if load_factor is None else load_factor
+    n_rb_dl = int(rng.choice([6, 15, 25, 50, 75, 100]))
+    sfn_start = int(rng.integers(0, 1024 // 4)) * 4
+    f_off_true = float(rng.uniform(-1, 1) * ppm * 1e-6 * fc)
+    delay = int(rng.integers(0, 19200))
+
+    mib = MibConfig(n_rb_dl=n_rb_dl, sfn_start=sfn_start)
+    tx = create_dl_sig(cp_type, n_subframes, slot_start, n_id_1, n_id_2,
+                       load, rng, mib=mib)
+    taps = None
+    if fading:
+        g = np.sqrt(np.array([0.7, 0.2, 0.1]) / 2)
+        taps = g * (rng.standard_normal(3) + 1j * rng.standard_normal(3))
+    rx = apply_channel(tx, snr_db=snr_db, freq_offset=f_off_true,
+                       delay=delay, taps=taps, rng=rng)[:len(tx)]
+
+    n_extra = int(np.floor((fc * ppm / 1e6 + 2.5e3) / 5e3))
+    f_search_set = (np.arange(-n_extra, n_extra + 1) * 5e3)
+
+    t0 = time.perf_counter()
+    cells = cell_search(rx, fc, f_search_set=f_search_set, backend=backend)
+    elapsed = time.perf_counter() - t0
+
+    want = 3 * n_id_1 + n_id_2
+    hit = [c for c in cells if c.n_id_cell() == want]
+    false_cells = len(cells) - len(hit)
+    detected = bool(hit)
+    mib_ok = False
+    freq_err = np.nan
+    if detected:
+        c = max(hit, key=lambda c: c.pss_pow)
+        freq_err = abs(c.freq_superfine - f_off_true)
+        mib_ok = (c.n_rb_dl == n_rb_dl and c.cp_type == cp_type)
+    if verbose:
+        print(f"  cell {want} ({cp_type}, {n_rb_dl} RB, "
+              f"{f_off_true / 1e3:+.1f} kHz): "
+              f"{'MIB ok' if mib_ok else 'detected' if detected else 'MISS'}"
+              f"{f', +{false_cells} false' if false_cells else ''} "
+              f"[{elapsed:.1f} s]")
+    return TrialResult(want, cp_type, snr_db if snr_db is not None
+                       else np.inf, detected, mib_ok, false_cells,
+                       freq_err, elapsed)
+
+
+def run_mc(trials: int, snr_db: Optional[float], fading: bool = False,
+           backend: str = "numpy", seed: int = 0, ppm: float = 30.0,
+           verbose: int = 1) -> McStats:
+    rng = np.random.default_rng(seed)
+    stats = McStats()
+    for _ in range(trials):
+        stats.add(run_trial(rng, snr_db, fading=fading, backend=backend,
+                            ppm=ppm, verbose=verbose))
+    return stats
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--trials", type=int, default=20)
+    ap.add_argument("--snr-db", type=float, default=None,
+                    help="AWGN SNR; omit for noise-free")
+    ap.add_argument("--fading", action="store_true")
+    ap.add_argument("--backend", default="jax", choices=["numpy", "jax"])
+    ap.add_argument("--ppm", type=float, default=30.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    stats = run_mc(args.trials, args.snr_db, fading=args.fading,
+                   backend=args.backend, seed=args.seed, ppm=args.ppm)
+    print(stats.summary())
+
+
+if __name__ == "__main__":
+    main()
