@@ -98,8 +98,11 @@ def _delay_spread(single: jnp.ndarray, ds_comb_arm: int) -> jnp.ndarray:
 
 def _sp_est(cap_ri: jnp.ndarray, n_comb_sp: int) -> jnp.ndarray:
     """Sliding 274-sample mean power folded into one half-frame."""
+    return _sp_est_from_pw(cap_ri[:, 0] ** 2 + cap_ri[:, 1] ** 2, n_comb_sp)
+
+
+def _sp_est_from_pw(pw: jnp.ndarray, n_comb_sp: int) -> jnp.ndarray:
     n_sp = n_comb_sp * HALF_FRAME
-    pw = cap_ri[:, 0] ** 2 + cap_ri[:, 1] ** 2
     # Sliding 274-window sum by length doubling: S_{a+b}[k] = S_a[k] +
     # S_b[k+a] — O(log w) vector adds, numerically a balanced tree (NOT
     # reduce_window, which takes minutes to compile and dominates runtime
@@ -159,18 +162,48 @@ xcorr_pss_core_batch = functools.partial(jax.jit, static_argnames=(
 
 
 def xcorr_pss_jax(capbuf, f_search_set, ds_comb_arm, fc_requested,
-                  fc_programmed, fs_programmed, dtype=None) -> XcorrResult:
-    """Device PSS scan; mirrors ops.xcorr.xcorr_pss(backend='numpy')."""
+                  fc_programmed, fs_programmed, dtype=None,
+                  use_pallas=None) -> XcorrResult:
+    """Device PSS scan; mirrors ops.xcorr.xcorr_pss(backend='numpy').
+
+    use_pallas: route correlate+fold through the fused Pallas kernel
+    (ops/xcorr_pallas.py). Default: on for TPU-like backends, off for CPU
+    (where the XLA path runs in float64 for golden-parity testing).
+    """
     if dtype is None:
         dtype = (np.float64
                  if jax.config.jax_enable_x64 and jax.default_backend() == "cpu"
                  else np.float32)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
     capbuf = np.asarray(capbuf)
     f_search_set = np.asarray(f_search_set, dtype=np.float64)
     n_cap = capbuf.shape[0]
     n_lags = n_cap - (PSS_TD_LEN - 1)
     n_comb_xc = (n_lags - 100) // HALF_FRAME
     n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME
+
+    if use_pallas:
+        from lte_cell_scanner_tpu.ops.xcorr_pallas import (scan_plan,
+                                                           xcorr_core_pallas)
+
+        bank, bases, offs, halo, n_tile, _ = scan_plan(
+            n_cap, f_search_set, fc_requested, fc_programmed, fs_programmed)
+        cap2 = np.stack([capbuf.real, capbuf.imag]).astype(np.float32)
+        packed, single, inc = xcorr_core_pallas(
+            jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
+            jnp.asarray(offs), n_comb_xc, n_comb_sp, ds_comb_arm,
+            halo=halo, n_tile=n_tile)
+        packed = np.asarray(packed, dtype=np.float64)
+        return XcorrResult(
+            xc_incoherent_collapsed_pow=packed[0:3],
+            xc_incoherent_collapsed_frq=packed[3:6].astype(np.int64),
+            xc_incoherent_single=_LazyArray(single),
+            xc_incoherent=_LazyArray(inc),
+            sp_incoherent=packed[6],
+            n_comb_xc=int(n_comb_xc),
+            n_comb_sp=int(n_comb_sp),
+        )
 
     cap_ri = np.stack([capbuf.real, capbuf.imag], axis=-1).astype(dtype)
     tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,

@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: fused PSS correlation bank + incoherent k_factor fold.
+
+The XLA path (ops/xcorr_jax.py) materializes the im2col window matrix
+(274 x n_lags ~ 168 MB), the complex correlation (2*n_ch x n_lags ~ 228 MB)
+and its magnitude in HBM — ~1 GB of HBM traffic per capture that dominates
+its runtime. This kernel keeps everything in VMEM: the whole 80 ms capture
+is only 1.2 MB, so each grid step slices its correlation window directly
+from the VMEM-resident capture, runs the (2*n_ch, 274) template bank
+against it on the MXU, squares, and accumulates the per-hypothesis
+k_factor-shifted half-frame fold in place. HBM traffic drops to
+read-capture + write-fold (~5 MB); the intermediate correlation never
+exists outside VMEM.
+
+Grid: (n_tile, n_fold) with the fold axis innermost, so each output tile
+stays resident while its n_comb_xc fold contributions accumulate.
+Per-hypothesis fold alignment (actual_start_index = round(m*9600*k_factor),
+src/searcher.cpp:298) differs from the nominal m*9600 by at most a few
+samples (|d| <= ~16 at ppm=100), so each step computes the correlation on a
+halo-extended tile and every hypothesis takes its own shifted slice.
+
+Numerics match ops.xcorr_jax to float32 rounding: same template bank, same
+fold order, f32 MXU accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lte_cell_scanner_tpu.constants import HALF_FRAME, PSS_TD_LEN
+
+DEFAULT_TILE = 1920  # divides HALF_FRAME; W=tile+2*halo keeps VMEM < 16 MB
+
+
+def _kernel(bases_ref, offs_ref, cap_ref, tpl_ref, acc_ref, win_ref,
+            mag_ref, upd_ref, *, n_f, tile, halo, n_tile):
+    """One (tile, fold) step. See module docstring.
+
+    bases_ref: (n_prog,) i32 SMEM — capture offset of each step's window.
+    offs_ref:  (n_f, n_prog) i32 SMEM — per-hypothesis slice offset into
+               the halo'd magnitude tile (= fold misalignment d + halo).
+    cap_ref:   (2, n_cap) f32 VMEM — re/im planes of the capture.
+    tpl_ref:   (2*n_ch, 2*PSS_TD_LEN) f32 VMEM — real-block template bank
+               [[re, -im], [im, re]] of the 3*n_f shifted PSS templates.
+    acc_ref:   (n_ch, HALF_FRAME) f32 VMEM — fold accumulator (revisited
+               across the fold axis; divided by n_comb_xc by the caller).
+    win_ref:   (2*PSS_TD_LEN, w) f32 VMEM scratch — im2col window matrix.
+    mag_ref:   (n_ch, w) f32 VMEM scratch — |xc|^2 of the halo'd tile.
+    upd_ref:   (n_ch, tile) f32 VMEM scratch — hypothesis-aligned update.
+    """
+    t = pl.program_id(0)
+    m = pl.program_id(1)
+    prog = t * pl.num_programs(1) + m
+    n_ch = 3 * n_f
+    w = tile + 2 * halo
+
+    base = pl.multiple_of(bases_ref[prog], 128)
+    local = cap_ref[:, pl.ds(base, w + PSS_TD_LEN - 1)]      # (2, w+136)
+    # im2col into scratch: 137 static shifts of each plane (row stores —
+    # Mosaic can't concatenate this many vectors into one value).
+    for p in (0, 1):
+        for j in range(PSS_TD_LEN):
+            win_ref[p * PSS_TD_LEN + j, :] = local[p, j:j + w]
+    xc = jnp.dot(tpl_ref[:], win_ref[:, :],
+                 preferred_element_type=jnp.float32)
+    mag_ref[:, :] = xc[:n_ch] ** 2 + xc[n_ch:] ** 2           # (n_ch, w)
+
+    # Per-hypothesis k_factor shift, restacked in channel order. Dynamic
+    # lane-dim slices must be 128-aligned on TPU, so realize the
+    # sample-granular shift as a dynamic rotate + static slice (the rolled
+    # tail can't wrap into [0, tile) because off <= w - tile).
+    for f in range(n_f):
+        upd_ref[3 * f:3 * f + 3, :] = pltpu.roll(
+            mag_ref[3 * f:3 * f + 3, :], w - offs_ref[f, prog],
+            axis=1)[:, :tile]
+
+    tcol = pl.multiple_of(t * tile, 128)
+
+    @pl.when(m == 0)
+    def _init():
+        acc_ref[:, pl.ds(tcol, tile)] = upd_ref[:, :]
+
+    @pl.when(m > 0)
+    def _accum():
+        acc_ref[:, pl.ds(tcol, tile)] += upd_ref[:, :]
+
+
+def plan_tiles(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE,
+               halo: int = 16):
+    """Host-side schedule: window base per grid step + per-hypothesis
+    slice offsets. Grows the halo if the fold misalignment demands it."""
+    n_f, n_fold = starts.shape
+    nominal = np.arange(n_fold) * HALF_FRAME
+    d = starts - nominal[None, :]
+    halo = max(halo, int(np.abs(d).max()))
+    # Mosaic requires dynamic lane-slice starts to be 128-aligned: align
+    # each window base down to 128 and widen the halo so the residual
+    # (absorbed into the per-hypothesis offsets) stays in range; round the
+    # halo so the working width w stays lane-aligned too.
+    halo = -(-(halo + 64) // 64) * 64
+    w = tile + 2 * halo
+    assert HALF_FRAME % tile == 0
+    n_tile = HALF_FRAME // tile
+
+    m_idx = np.arange(n_fold)[:, None]
+    t_idx = np.arange(n_tile)[None, :]
+    bases = m_idx * HALF_FRAME + t_idx * tile - halo          # (n_fold, n_tile)
+    bases = np.clip(bases, 0, n_cap - (PSS_TD_LEN - 1) - w)
+    bases = (bases // 128) * 128
+    # offs[f, m, t]: start of hypothesis f's tile inside the halo'd window.
+    offs = (starts[:, :, None] + t_idx[None] * tile - bases[None])
+    assert (offs >= 0).all() and (offs + tile <= w).all(), \
+        "fold misalignment exceeds the planned halo"
+    # Flatten to grid order prog = t * n_fold + m.
+    bases = np.ascontiguousarray(bases.T).reshape(-1).astype(np.int32)
+    offs = np.ascontiguousarray(np.transpose(offs, (0, 2, 1))).reshape(
+        n_f, -1).astype(np.int32)
+    return bases, offs, halo, n_tile
+
+
+@functools.partial(jax.jit, static_argnames=("n_comb_xc", "tile", "halo",
+                                             "n_tile", "interpret"))
+def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
+                      tile=DEFAULT_TILE, halo=16, n_tile=5,
+                      interpret=False):
+    """Fused correlation + incoherent fold.
+
+    cap2: (2, n_cap) f32. tpl_bank: (2*n_ch, 274) f32. bases/offs from
+    plan_tiles. Returns single: (3, HALF_FRAME, n_f) f32 — the same
+    xc_incoherent_single as ops.xcorr_jax._fold.
+    """
+    n_ch = tpl_bank.shape[0] // 2
+    n_f = n_ch // 3
+    kern = functools.partial(_kernel, n_f=n_f, tile=tile, halo=halo,
+                             n_tile=n_tile)
+    acc = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tile, n_comb_xc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (n_ch, HALF_FRAME), lambda t, m, *_: (0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2 * PSS_TD_LEN, tile + 2 * halo), jnp.float32),
+                pltpu.VMEM((n_ch, tile + 2 * halo), jnp.float32),
+                pltpu.VMEM((n_ch, tile), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_ch, HALF_FRAME), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_ch * 2 * PSS_TD_LEN * (tile + 2 * halo)
+            * n_tile * n_comb_xc,
+            bytes_accessed=4 * (2 * cap2.shape[1] + n_ch * HALF_FRAME),
+            transcendentals=0,
+        ),
+    )(bases, offs, cap2, tpl_bank)
+    single = (acc / n_comb_xc).reshape(n_f, 3, HALF_FRAME)
+    return jnp.transpose(single, (1, 2, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_comb_xc", "n_comb_sp",
+                                             "ds_comb_arm", "tile", "halo",
+                                             "n_tile", "interpret"))
+def xcorr_core_pallas(cap2, bank, bases, offs, n_comb_xc, n_comb_sp,
+                      ds_comb_arm, tile=DEFAULT_TILE, halo=16, n_tile=5,
+                      interpret=False):
+    """Full device scan with the fused Pallas correlate+fold at its core.
+
+    Mirrors ops.xcorr_jax._xcorr_core's (packed, single, inc) contract.
+    cap2 is (2, n_cap) float32 — or uint8 raw IQ bytes, converted to
+    (x-127)/128 on device (4x less host->device traffic; the radio's
+    native sample format, src/capbuf.cpp:172-181).
+    """
+    from lte_cell_scanner_tpu.ops.xcorr_jax import (_delay_spread,
+                                                    _sp_est_from_pw)
+
+    if cap2.dtype == jnp.uint8:
+        cap2 = (cap2.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
+    single = xcorr_fold_pallas(cap2, bank, bases, offs, n_comb_xc,
+                               tile=tile, halo=halo, n_tile=n_tile,
+                               interpret=interpret)
+    inc = _delay_spread(single, ds_comb_arm)
+    sp_inc = _sp_est_from_pw(cap2[0] ** 2 + cap2[1] ** 2, n_comb_sp)
+    pow_ = inc.max(axis=2)
+    frq = inc.argmax(axis=2).astype(pow_.dtype)
+    packed = jnp.concatenate([pow_, frq, sp_inc[None, :]], axis=0)
+    return packed, single, inc
+
+
+def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
+              fs_programmed, tile=DEFAULT_TILE):
+    """Precompute the host-side arrays the Pallas scan needs (template
+    bank + tile schedule); shared by xcorr_pss_jax and bench."""
+    from lte_cell_scanner_tpu.ops.xcorr import (fold_start_indices,
+                                                shifted_templates)
+
+    n_lags = capbuf_len - (PSS_TD_LEN - 1)
+    n_comb_xc = (n_lags - 100) // HALF_FRAME
+    f_search_set = np.asarray(f_search_set, dtype=np.float64)
+    tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,
+                            fs_programmed).reshape(-1, PSS_TD_LEN)
+    bank = np.block([[tpl.real, -tpl.imag],
+                     [tpl.imag, tpl.real]]).astype(np.float32)
+    starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
+                                fc_programmed, fs_programmed)
+    bases, offs, halo, n_tile = plan_tiles(capbuf_len, starts, tile=tile)
+    return bank, bases, offs, halo, n_tile, n_comb_xc
+
+
+def xcorr_single_pallas(capbuf, f_search_set, fc_requested, fc_programmed,
+                        fs_programmed, tile=DEFAULT_TILE, interpret=False):
+    """Host-facing helper mirroring correlate+fold of the XLA path.
+
+    Returns (single, n_comb_xc) with single as float32 numpy-compatible
+    (3, HALF_FRAME, n_f).
+    """
+    from lte_cell_scanner_tpu.ops.xcorr import (fold_start_indices,
+                                                shifted_templates)
+
+    capbuf = np.asarray(capbuf)
+    n_cap = capbuf.shape[0]
+    n_lags = n_cap - (PSS_TD_LEN - 1)
+    n_comb_xc = (n_lags - 100) // HALF_FRAME
+    f_search_set = np.asarray(f_search_set, dtype=np.float64)
+
+    tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,
+                            fs_programmed).reshape(-1, PSS_TD_LEN)
+    bank = np.block([[tpl.real, -tpl.imag],
+                     [tpl.imag, tpl.real]]).astype(np.float32)
+    starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
+                                fc_programmed, fs_programmed)
+    bases, offs, halo, n_tile = plan_tiles(n_cap, starts, tile=tile)
+    cap2 = np.stack([capbuf.real, capbuf.imag]).astype(np.float32)
+    single = xcorr_fold_pallas(jnp.asarray(cap2), jnp.asarray(bank),
+                               jnp.asarray(bases), jnp.asarray(offs),
+                               n_comb_xc, tile=tile, halo=halo,
+                               n_tile=n_tile, interpret=interpret)
+    return single, n_comb_xc

@@ -1,0 +1,75 @@
+"""Fused Pallas correlate+fold kernel vs the XLA device path.
+
+Runs in Pallas interpreter mode on CPU (the real-TPU parity of the same
+kernel is exercised by bench/e2e on hardware; the kernel is bit-identical
+to the XLA float32 path there too).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lte_cell_scanner_tpu.ops.xcorr_jax import xcorr_pss_jax
+from lte_cell_scanner_tpu.ops.xcorr_pallas import (
+    scan_plan,
+    xcorr_core_pallas,
+    xcorr_single_pallas,
+)
+
+
+def _capture(n=48000, seed=0, f_off=10e3):
+    from lte_cell_scanner_tpu.models.pss import pss_td
+
+    rng = np.random.default_rng(seed)
+    cap = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.05
+    tpl = pss_td(1)
+    t = np.arange(137)
+    sh = tpl * np.exp(1j * 2 * np.pi * f_off * t / 1.92e6)
+    for k in range(500, n - 137, 9600):
+        cap[k:k + 137] += 0.3 * sh
+    return cap
+
+
+def test_pallas_single_matches_xla_f32():
+    cap = _capture()
+    fset = np.arange(-2, 3) * 5e3
+    rj = xcorr_pss_jax(cap, fset, 2, 739e6, 739e6, 1.92e6,
+                       dtype=np.float32, use_pallas=False)
+    single, n_comb_xc = xcorr_single_pallas(cap, fset, 739e6, 739e6,
+                                            1.92e6, interpret=True)
+    assert n_comb_xc == rj.n_comb_xc
+    np.testing.assert_array_equal(np.asarray(single, dtype=np.float32),
+                                  np.asarray(rj.xc_incoherent_single,
+                                             dtype=np.float32))
+
+
+def test_pallas_core_packed_and_uint8():
+    cap = _capture(seed=3)
+    fset = np.arange(-1, 2) * 5e3
+    n_cap = len(cap)
+    n_comb_sp = (n_cap - 136 - 137) // 9600
+    bank, bases, offs, halo, n_tile, n_comb_xc = scan_plan(
+        n_cap, fset, 739e6, 739e6, 1.92e6)
+    cap2 = np.stack([cap.real, cap.imag]).astype(np.float32)
+    packed, single, inc = xcorr_core_pallas(
+        jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
+        jnp.asarray(offs), n_comb_xc, n_comb_sp, 2, halo=halo,
+        n_tile=n_tile, interpret=True)
+    rj = xcorr_pss_jax(cap, fset, 2, 739e6, 739e6, 1.92e6,
+                       dtype=np.float32, use_pallas=False)
+    packed = np.asarray(packed, dtype=np.float64)
+    np.testing.assert_allclose(packed[0:3], rj.xc_incoherent_collapsed_pow,
+                               rtol=1e-6)
+    assert (packed[3:6].astype(int)
+            == rj.xc_incoherent_collapsed_frq).all()
+    np.testing.assert_allclose(packed[6], rj.sp_incoherent, rtol=1e-6)
+
+    # uint8 radio-byte ingestion: quantize to rtl_sdr format, expect the
+    # same peak structure (planted PSS still detected at the right lag).
+    u8 = np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255).astype(np.uint8)
+    packed_u, _, _ = xcorr_core_pallas(
+        jnp.asarray(u8), jnp.asarray(bank), jnp.asarray(bases),
+        jnp.asarray(offs), n_comb_xc, n_comb_sp, 2, halo=halo,
+        n_tile=n_tile, interpret=True)
+    pow_u = np.asarray(packed_u, dtype=np.float64)[0:3]
+    n2, lag = np.unravel_index(np.argmax(pow_u), pow_u.shape)
+    assert n2 == 1 and abs(lag - 500) <= 2
