@@ -24,5 +24,14 @@ for TPU):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the device programs are large (fused
+# Pallas scan + peak search) and first-compile dominates CLI startup on
+# remote-compiled TPU backends. Opt out with JAX_COMPILATION_CACHE_DIR="".
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/lte_scanner_tpu_jax"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 from lte_cell_scanner_tpu.constants import FS_LTE, CAPLENGTH  # noqa: F401
 from lte_cell_scanner_tpu.models.cell import Cell  # noqa: F401

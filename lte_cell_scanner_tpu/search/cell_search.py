@@ -78,13 +78,43 @@ def cell_search(
     f_search_set = np.asarray(f_search_set, dtype=np.float64)
     capbuf = np.asarray(capbuf, dtype=np.complex128)
 
-    r = xcorr_pss(capbuf, f_search_set, ds_comb_arm, fc_requested,
-                  fc_programmed, fs_programmed, backend=backend)
-    z_th1 = detection_threshold(r.sp_incoherent, r.n_comb_xc, ds_comb_arm)
-    peaks = peak_search(r.xc_incoherent_collapsed_pow,
-                        r.xc_incoherent_collapsed_frq, z_th1, f_search_set,
-                        fc_requested, fc_programmed, r.xc_incoherent_single,
-                        ds_comb_arm, fs_programmed)
+    peaks = None
+    if backend == "jax":
+        import jax
+
+        if jax.default_backend() != "cpu":
+            # TPU: one fused device program (Pallas scan + threshold +
+            # greedy peaks); the host receives only the ~1 KB peak list.
+            import jax.numpy as jnp
+
+            from lte_cell_scanner_tpu.ops.peak_jax import (
+                peaks_to_cells, r_th1_normalized, scan_and_peaks_pallas)
+            from lte_cell_scanner_tpu.ops.xcorr_pallas import scan_plan
+
+            bank, bases, offs, halo, n_tile, n_comb_xc = scan_plan(
+                len(capbuf), f_search_set, fc_requested, fc_programmed,
+                fs_programmed)
+            n_comb_sp = (len(capbuf) - 136 - 137) // 9600
+            r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm,
+                                      THRESH1_N_NINES)
+            cap2 = np.stack([capbuf.real, capbuf.imag]).astype(np.float32)
+            table = scan_and_peaks_pallas(
+                jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
+                jnp.asarray(offs), r_norm, n_comb_xc, n_comb_sp,
+                ds_comb_arm, halo=halo, n_tile=n_tile)
+            peaks = peaks_to_cells(np.asarray(table), f_search_set,
+                                   fc_requested, fc_programmed,
+                                   fs_programmed)
+    if peaks is None:
+        r = xcorr_pss(capbuf, f_search_set, ds_comb_arm, fc_requested,
+                      fc_programmed, fs_programmed, backend=backend)
+        z_th1 = detection_threshold(r.sp_incoherent, r.n_comb_xc,
+                                    ds_comb_arm)
+        peaks = peak_search(r.xc_incoherent_collapsed_pow,
+                            r.xc_incoherent_collapsed_frq, z_th1,
+                            f_search_set, fc_requested, fc_programmed,
+                            r.xc_incoherent_single, ds_comb_arm,
+                            fs_programmed)
     if verbose:
         print(f"  {len(peaks)} candidate peak(s)")
 
