@@ -1,0 +1,72 @@
+"""Batched tail-biting Viterbi decoder on device.
+
+The search pipeline decodes one 40-bit MIB per candidate — host NumPy is
+fine there. The *tracker* decodes one MIB per tracked cell per 40 ms; at
+hundreds of tracked cells per chip the decoder becomes the host
+bottleneck (SURVEY §7 anticipated exactly this: "tail-biting Viterbi on
+device ... for throughput"). This module runs the same 64-state trellis as
+models/convcode.py (reference: src/lte_lib.cpp:520-551 via IT++
+decode_tailbite) as a `lax.scan` forward pass + traceback, vectorized over
+a batch axis, carrying the (start_state, current_state) joint metric so
+all 64 tail-biting hypotheses resolve in one pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lte_cell_scanner_tpu.models.convcode import N_STATES, trellis
+
+
+@functools.lru_cache(maxsize=1)
+def _tables():
+    next_state, outputs, _ = trellis()
+    signs = (1.0 - 2.0 * outputs.astype(np.float32))      # (64, 2, 3)
+    ns_all = np.arange(N_STATES)
+    pred0 = (2 * (ns_all & 31)).astype(np.int32)          # (64,)
+    in_bit = (ns_all >> 5).astype(np.int32)               # (64,)
+    return signs, pred0, in_bit
+
+
+def _decode_one(d_llr):
+    """(3, n) LLR ln(P0/P1) -> (n,) bits. Jittable; vmapped by the batch
+    wrapper."""
+    signs_np, pred0_np, in_bit_np = _tables()
+    signs = jnp.asarray(signs_np)
+    pred0 = jnp.asarray(pred0_np)
+    pred1 = pred0 + 1
+    in_bit = jnp.asarray(in_bit_np)
+    n = d_llr.shape[1]
+
+    init = jnp.full((N_STATES, N_STATES), -jnp.inf,
+                    dtype=jnp.float32).at[
+        jnp.arange(N_STATES), jnp.arange(N_STATES)].set(0.0)
+
+    def fwd(metric, llr_t):
+        bm = signs @ llr_t                                # (64, 2)
+        m0 = metric[:, pred0] + bm[pred0, in_bit]
+        m1 = metric[:, pred1] + bm[pred1, in_bit]
+        take1 = m1 > m0
+        metric = jnp.where(take1, m1, m0)
+        bp = jnp.where(take1, pred1, pred0).astype(jnp.int32)  # (64s, 64c)
+        return metric, bp
+
+    metric, bps = jax.lax.scan(fwd, init, jnp.moveaxis(d_llr, 1, 0))
+    start = jnp.argmax(jnp.diagonal(metric)).astype(jnp.int32)
+
+    def back(state, bp_t):
+        bit = state >> 5
+        return bp_t[start, state], bit
+
+    _, bits = jax.lax.scan(back, start, bps, reverse=True)
+    return bits.astype(jnp.int32)
+
+
+@jax.jit
+def lte_conv_decode_batch(d_llr: jnp.ndarray) -> jnp.ndarray:
+    """Decode a batch: (B, 3, n) LLRs -> (B, n) bits."""
+    return jax.vmap(_decode_one)(d_llr.astype(jnp.float32))

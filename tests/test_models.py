@@ -192,3 +192,22 @@ def test_mib_chain_end_to_end():
     c_est = lte_conv_decode(d_est)
     np.testing.assert_array_equal(c_est, c)
     np.testing.assert_array_equal(lte_calc_crc(c_est[:24], "crc16"), c_est[24:])
+
+
+def test_device_viterbi_matches_host():
+    from lte_cell_scanner_tpu.models.convcode import (lte_conv_decode,
+                                                      lte_conv_encode)
+    from lte_cell_scanner_tpu.models.convcode_jax import lte_conv_decode_batch
+
+    rng = np.random.default_rng(11)
+    B, n = 12, 40
+    bits = rng.integers(0, 2, (B, n)).astype(np.uint8)
+    llrs = []
+    for b in range(B):
+        d = lte_conv_encode(bits[b]).astype(np.float64)
+        y = (1.0 - 2.0 * d) + rng.standard_normal(d.shape)  # 0 dB AWGN
+        llrs.append(2 * y)
+    llrs = np.stack(llrs)
+    dev = np.asarray(lte_conv_decode_batch(llrs))
+    for b in range(B):
+        np.testing.assert_array_equal(dev[b], lte_conv_decode(llrs[b]))
