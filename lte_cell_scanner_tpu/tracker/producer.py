@@ -37,6 +37,7 @@ class _CellCapture:
     late: float = 0.0
     frequency_offset: float = 0.0
     frame_timing: float = 0.0
+    abs_start: int = 0
 
 
 def slot_sym_inc(n_symb_dl: int, slot_num: int, sym_num: int):
@@ -49,7 +50,8 @@ def slot_sym_inc(n_symb_dl: int, slot_num: int, sym_num: int):
 class SampleFeeder:
     """Distributes a continuous sample stream to searcher + cell trackers."""
 
-    def __init__(self, state: GlobalState, searcher_capbuf_len: int = FRAME * 8):
+    def __init__(self, state: GlobalState, searcher_capbuf_len: int = FRAME * 8,
+                 emit_descriptors: bool = False):
         self.state = state
         self.sample_time = -1.0
         self.searcher_capbuf_len = searcher_capbuf_len
@@ -60,6 +62,10 @@ class SampleFeeder:
         self.searcher_late = 0.0
         self.searcher_ready: Optional[np.ndarray] = None
         self._cells: Dict[int, _CellCapture] = {}
+        # Descriptor mode (batched device tracker): PDUs carry the window's
+        # absolute stream index instead of a copy of the samples.
+        self.emit_descriptors = emit_descriptors
+        self.abs_sample = 0
 
     def request_searcher_capture(self) -> None:
         self.searcher_request = True
@@ -94,6 +100,7 @@ class SampleFeeder:
                 self._cells.pop(cell.n_id_cell, None)
                 continue
             self._feed_cell(cell, samples, ts, fo)
+        self.abs_sample += n
 
     # -- internals ---------------------------------------------------------
 
@@ -147,17 +154,23 @@ class SampleFeeder:
                 cl.buffer_offset = 0
                 cl.frequency_offset = fo
                 cl.frame_timing = frame_timing
+                cl.abs_start = self.abs_sample + t
             take = min(n - t, 128 - cl.buffer_offset)
-            cl.buffer[cl.buffer_offset:cl.buffer_offset + take] = \
-                samples[t:t + take]
+            if not self.emit_descriptors:
+                cl.buffer[cl.buffer_offset:cl.buffer_offset + take] = \
+                    samples[t:t + take]
             cl.buffer_offset += take
             t += take
             if cl.buffer_offset == 128:
                 cell.push_pdu(SymbolPDU(
-                    data=cl.buffer.copy(), slot_num=cl.slot_num,
+                    data=(None if self.emit_descriptors
+                          else cl.buffer.copy()),
+                    slot_num=cl.slot_num,
                     sym_num=cl.sym_num, late=cl.late,
                     frequency_offset=cl.frequency_offset,
-                    frame_timing=cl.frame_timing))
+                    frame_timing=cl.frame_timing,
+                    start=(cl.abs_start if self.emit_descriptors
+                           else None)))
                 cl.filling = False
                 if cell.cp_type == "extended":
                     cl.target_cap_start_time += 32 + 128

@@ -68,7 +68,8 @@ class LTETracker:
 
     def __init__(self, fc_requested: float, fc_programmed: Optional[float] = None,
                  fs_programmed: float = 1.92e6, initial_freq_offset: float = 0.0,
-                 backend: str = "numpy",
+                 backend: str = "numpy", batch: bool = False,
+                 engine_every: int = 1,
                  on_event: Optional[Callable[[str, dict], None]] = None,
                  drop_threshold: Optional[float] = None):
         self.state = GlobalState(
@@ -87,6 +88,22 @@ class LTETracker:
         self.on_event = on_event or (lambda kind, info: None)
         self.feeder.request_searcher_capture()
         self.n_blocks = 0
+        # Batched device data plane: all cells' per-symbol work in shared
+        # device dispatches (tracker/batch_runtime.py) instead of one host
+        # CellTracker per cell.
+        self.engine = None
+        if batch:
+            from lte_cell_scanner_tpu.tracker.batch_runtime import (
+                BatchTrackerEngine)
+
+            self.engine = BatchTrackerEngine(self.state)
+            # Descriptor mode: the engine uploads the raw stream once per
+            # cycle and gathers every cell's windows on device.
+            self.feeder.emit_descriptors = True
+        # Engine dispatch cadence in input blocks: larger values amortize
+        # the per-dispatch round trip at the cost of feedback-loop lag
+        # (engine_every=20 ~ one cycle per 104 ms of signal).
+        self.engine_every = max(1, engine_every)
 
     # ------------------------------------------------------------------
     def kalibrate(self, sample_source: Iterator[np.ndarray],
@@ -121,6 +138,8 @@ class LTETracker:
         """Process one block of raw uint8 IQ samples."""
         self.n_blocks += 1
         samples = bytes_to_iq(raw_block)
+        if self.engine is not None:
+            self.engine.push_raw(raw_block)
 
         # Reap killed cells (reference: producer_thread.cpp:191-197).
         for cell in list(self.cells):
@@ -131,8 +150,12 @@ class LTETracker:
 
         self.feeder.feed(samples, self.cells)
 
-        for cell in self.cells:
-            self.trackers[cell.n_id_cell].process_available()
+        if self.engine is not None:
+            if self.n_blocks % self.engine_every == 0:
+                self.engine.process_all(self.cells)
+        else:
+            for cell in self.cells:
+                self.trackers[cell.n_id_cell].process_available()
 
         capbuf = self.feeder.take_searcher_capture()
         if capbuf is not None:

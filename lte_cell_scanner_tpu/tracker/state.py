@@ -22,14 +22,20 @@ class SymbolPDU:
     """One OFDM symbol's worth of time-domain samples.
 
     reference: td_fifo_pdu_t (include/LTE-Tracker.h:19-31).
+
+    In descriptor mode (the batched device tracker) ``data`` is None and
+    ``start`` is the absolute sample index of the window in the raw
+    stream — the engine gathers the 128 samples on device from the
+    once-uploaded stream instead of shipping a copy per cell.
     """
 
-    data: np.ndarray  # (128,) complex
+    data: Optional[np.ndarray]  # (128,) complex, or None in descriptor mode
     slot_num: int
     sym_num: int
     late: float               # fractional start-time error (samples)
     frequency_offset: float   # global FO at capture time
     frame_timing: float       # cell frame timing at capture time
+    start: Optional[int] = None  # absolute stream index (descriptor mode)
 
 
 @dataclasses.dataclass

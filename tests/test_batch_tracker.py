@@ -1,0 +1,66 @@
+"""Batched device tracker engine: end-to-end and vs the host tracker."""
+
+import numpy as np
+import pytest
+
+from lte_cell_scanner_tpu.io.simulator import synthetic_capture
+from lte_cell_scanner_tpu.tracker import LTETracker
+from lte_cell_scanner_tpu.tracker.runtime import playback_source
+
+
+@pytest.fixture(scope="module")
+def sim_signal():
+    return synthetic_capture(n_id_1=90, n_id_2=1, snr_db=15,
+                             freq_offset=4e3, n_subframes=400,
+                             sfn_start=0, seed=5)
+
+
+def test_batch_engine_tracks_and_decodes(sim_signal):
+    trk = LTETracker(739e6, initial_freq_offset=4000.0, batch=True)
+    trk.run(playback_source(sim_signal), max_blocks=400)
+    st = trk.status()
+    assert len(st["cells"]) == 1
+    c = st["cells"][0]
+    assert c["n_id_cell"] == 271
+    assert c["health"] == 1.0
+    assert c["mib_successes"] > 10
+    assert abs(st["frequency_offset"] - 4000) < 20
+    assert 12 < c["sync_snr_db"] < 24
+
+
+def test_batch_engine_matches_host_tracker(sim_signal):
+    """Both data planes, identical input: same lock state and closely
+    matching tracking loops (f32 device vs f64 host)."""
+    host = LTETracker(739e6, initial_freq_offset=4000.0)
+    dev = LTETracker(739e6, initial_freq_offset=4000.0, batch=True)
+    host.run(playback_source(sim_signal), max_blocks=300)
+    dev.run(playback_source(sim_signal), max_blocks=300)
+    hs, ds = host.status(), dev.status()
+    assert len(hs["cells"]) == len(ds["cells"]) == 1
+    hc, dc = hs["cells"][0], ds["cells"][0]
+    assert hc["n_id_cell"] == dc["n_id_cell"]
+    assert hc["mib_successes"] == dc["mib_successes"]
+    assert abs(hs["frequency_offset"] - ds["frequency_offset"]) < 2.0
+    assert abs(hc["frame_timing"] - dc["frame_timing"]) < 0.1
+    # Measurements agree
+    h, d = host.cells[0], dev.cells[0]
+    np.testing.assert_allclose(d.sync_sp_av, h.sync_sp_av, rtol=0.05)
+    np.testing.assert_allclose(d.sync_np_av, h.sync_np_av, rtol=0.05)
+    np.testing.assert_allclose(d.crs_tp_av, h.crs_tp_av, rtol=0.05)
+
+
+def test_batch_engine_drop_and_reacquire(sim_signal):
+    events = []
+    trk = LTETracker(739e6, initial_freq_offset=4000.0, batch=True,
+                     on_event=lambda k, i: events.append(k),
+                     drop_threshold=4)
+    trk.run(playback_source(sim_signal), max_blocks=250)
+    assert "cell_acquired" in events
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(len(sim_signal))
+             + 1j * rng.standard_normal(len(sim_signal))) * 0.3
+    trk.run(playback_source(noise), max_blocks=1200)
+    assert "cell_dropped" in events
+    trk.run(playback_source(sim_signal), max_blocks=600)
+    assert events.count("cell_acquired") >= 2
+    assert trk.cells and trk.cells[0].n_id_cell == 271
