@@ -71,7 +71,7 @@ def _collect_pdus(seconds: float):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--cells", type=int, default=64)
+    ap.add_argument("--cells", type=int, default=96)
     ap.add_argument("--seconds", type=float, default=0.4)
     ap.add_argument("--chunk-ms", type=float, default=400.0,
                     help="signal per engine cycle (dispatch cadence)")

@@ -6,37 +6,46 @@ time. This engine is the TPU-native data plane promised in SURVEY §2.9:
 every per-symbol and per-RS computation for ALL tracked cells runs in a
 few fixed-shape device dispatches per processing cycle —
 
-  dispatch 1: symbol demod + raw-CE extraction for every pending
-              (cell, symbol, port)            [batch_frontend.get_fd_batch]
-  dispatch 2: CE filtering + FOE/TOE/AC statistics for every complete
-              RS triple                       [batch_frontend.*_batch]
-  dispatch 3: PSS/SSS sync measurements for every finalized half-frame
-              pair                            [batch_frontend.sync_meas]
-  dispatch 4: batched tail-biting Viterbi for every cell with a full
-              4-frame PBCH window             [models.convcode_jax]
+  dispatch 1: symbol demod from the once-uploaded raw uint8 stream
+              (window gather on device), raw-CE extraction at every RS
+              position (RS sequences live in device-resident per-cell
+              tables), and the PSS/SSS sync measurements for every
+              complete pair                     [batch_frontend.*]
+  dispatch 2: CE filtering + FOE/TOE statistics for every RS triple
+              (triples are index-gathers against dispatch 1's
+              device-resident CE rows), channel-autocorrelation
+              diagnostics aggregated per cell on device
+  dispatch 3: batched tail-biting Viterbi over every cell's full
+              4-frame PBCH windows              [models.convcode_jax]
 
-while the host keeps only the sequential control plane: the
-inverse-variance feedback blends (global FO, per-cell frame timing) are
-applied in the same (cell-major, time-ordered) sequence as the host
-tracker, so both implementations converge the same way; FIFO bookkeeping,
-MIB health counters and drop logic are shared semantics with
-cell_tracker.py (reference: src/tracker_thread.cpp).
+— and the host control plane is *vectorized NumPy*, not per-symbol
+Python: raw-CE row metadata lives in arrays per (cell, port), triples are
+slices, and the sequential inverse-variance feedback blends (global FO,
+per-cell frame timing) are evaluated with their exact closed form
 
-Scope note: the per-symbol interpolated channel estimate, which the host
-tracker materializes for every OFDM symbol (interp2d,
-src/tracker_thread.cpp:372-477), is only evaluated at the symbols that
-consume it — PBCH symbols (slot 1, syms 0-3) and the CRS measurement
-gate (slots 0/10, syms 5/6). Identical values, a fraction of the
-interpolation work, and no per-symbol host loop. Ordering is preserved
-with per-symbol sequence numbers: a symbol is finalized (measurements,
-PBCH collection) only once every port's interpolation horizon — the
-sequence number of its latest filtered CE — has passed it, exactly the
-host tracker's "every port has interpolated CE" gate.
+    x_N = P_N x_0 + P_N * sum_k  a_k e_k / P_k,   P_k = prod_{j<=k}(1-a_j)
+
+in the same (cell-major, port, time) order as the host tracker, chunked
+to keep the cumulative products in float64 range. Per processing cycle
+the Python cost is O(cells), not O(symbols), and the host<->device
+traffic is a few MB per signal-second at any cell count.
+
+Scope notes (documented divergences from the host tracker, all in
+display-only metrics or interpolation work that nothing consumes):
+- interpolated channel estimates are evaluated only at the symbols that
+  consume them — PBCH symbols (slot 1, syms 0-3) and the sync/CRS
+  measurement symbols — identical values via the same bracketing lerp;
+- the TOE blend's wrap is taken relative to the cycle-start frame timing
+  (exact whenever the within-cycle drift stays below a half frame, which
+  tracking guarantees);
+- the ac_fd/ac_td diagnostics update once per cycle (weight-aggregated /
+  latest-history forms) instead of once per RS symbol;
+- a PSS/SSS pair split across a cycle boundary skips its measurement
+  (< 1% of sync-channel IIR updates at realistic cycle lengths).
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from collections import deque
 from typing import Deque, Dict, List, Optional
@@ -59,6 +68,7 @@ from lte_cell_scanner_tpu.tracker import batch_frontend as bf
 from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
 
 _WRAP = 19200.0
+_META = ("seq", "shift", "slot", "sym", "fo", "ft")
 
 
 def _bucket(n: int, lo: int = 4) -> int:
@@ -71,28 +81,18 @@ def _bucket(n: int, lo: int = 4) -> int:
     return b
 
 
-@dataclasses.dataclass
-class _RawCE:
-    seq: int
-    shift: int
-    slot_num: int
-    sym_num: int
-    ce: np.ndarray
-    frequency_offset: float
-    frame_timing: float
+def _empty_meta():
+    return {"seq": np.zeros(0, np.int64), "shift": np.zeros(0, np.int64),
+            "slot": np.zeros(0, np.int64), "sym": np.zeros(0, np.int64),
+            "fo": np.zeros(0, np.float64), "ft": np.zeros(0, np.float64)}
 
 
-@dataclasses.dataclass
-class _FiltCE:
-    seq: int
-    shift: int
-    slot_num: int
-    sym_num: int
-    tp: float
-    sp: float
-    sp_raw: float
-    np_: float
-    ce_filt: np.ndarray
+def _cat_meta(a, b):
+    return {k: np.concatenate([a[k], b[k]]) for k in _META}
+
+
+def _tail_meta(m, k):
+    return {key: m[key][-k:] if k else m[key][:0] for key in _META}
 
 
 class _CellCtx:
@@ -106,26 +106,57 @@ class _CellCtx:
         self.bpo = 0.0  # float64 bulk-phase carry
         self.seq = 0
         n_ports = cell.n_ports
-        self.ce_raw_fifo: List[Deque[_RawCE]] = [
-            deque() for _ in range(n_ports)]
-        self.ce_filt_last: List[Optional[_FiltCE]] = [None] * n_ports
+        self.meta_carry = [_empty_meta() for _ in range(n_ports)]
+        self.ce_carry = [np.zeros((0, 12), complex) for _ in range(n_ports)]
+        self.filt_carry: List[Optional[dict]] = [None] * n_ports
+        self.hist = [np.zeros((0, 12), complex)
+                     for _ in range(n_ports)]    # ac_td 72-deep history
         self.backfilled = [False] * n_ports
         self.horizon = [-1] * n_ports      # seq of latest filtered CE
-        self.interp_points: Dict[int, dict] = {}   # seq -> {port: (ce, vals)}
-        self.ce_history = [deque(maxlen=72) for _ in range(n_ports)]
-        self.pending_syms: Deque = deque()  # (seq, slot, sym, syms72)
+        self.interp_points: Dict[int, dict] = {}  # seq -> {port: (ce, vals)}
+        self.pending: Deque = deque()      # (seq, slot, sym, syms72|None)
+        self.sync_vals: Dict[int, tuple] = {}     # pss seq -> measurements
         self.mib_fifo: Deque = deque()
         self.mib_fifo_synchronized = False
-        self.sss_sym: Optional[np.ndarray] = None
 
         n1, n2 = divmod(cell.n_id_cell, 3)
         self.pss_conj = np.conj(pss_fd(n2))
         self.sss0 = sss_fd(n1, n2, 0).astype(np.float64)
         self.sss10 = sss_fd(n1, n2, 10).astype(np.float64)
 
+        # Per-(slot, sym) RS lookup tables (vectorized access; mirrored
+        # into a device-resident table by the engine).
+        n_symb_dl = cell.n_symb_dl
+        self.shift_tab = np.full((20, 7, cell.n_ports), -1, np.int64)
+        self.rs_tab = np.zeros((20, 7, 12), complex)
+        for slot in range(20):
+            for sym in range(n_symb_dl):
+                got = False
+                for p in range(n_ports):
+                    sh = self.rs_dl.get_shift(slot, sym, p)
+                    if not np.isnan(sh):
+                        self.shift_tab[slot, sym, p] = int(sh)
+                        got = True
+                if got:
+                    self.rs_tab[slot, sym] = self.rs_dl.get_rs(slot, sym)
+
 
 def _key(cell: TrackedCell):
     return (cell.n_id_cell, cell.serial_num)
+
+
+def _iir_chain(x0, targets, alphas, chunk=64):
+    """Exact closed form of x_k = x_{k-1}(1-a_k) + t_k a_k, chunked so the
+    cumulative products stay in float64 range. Returns x_N."""
+    n = len(alphas)
+    x = x0
+    for s in range(0, n, chunk):
+        a = alphas[s:s + chunk]
+        t = targets[s:s + chunk]
+        p = np.cumprod(1.0 - a, axis=0)
+        corr = np.sum(a * t / p, axis=0)
+        x = p[-1] * (x + corr)
+    return x
 
 
 class BatchTrackerEngine:
@@ -140,6 +171,8 @@ class BatchTrackerEngine:
         # ~3.8 MB per signal-second TOTAL, independent of cell count.
         self._blocks: Deque = deque()      # (abs_base, (n, 2) uint8)
         self._stream_end = 0
+        self._dev_tables = None            # device RS/sync tables
+        self._dev_key = None
 
     # ------------------------------------------------------------------
     def push_raw(self, raw_block: np.ndarray) -> None:
@@ -166,6 +199,32 @@ class BatchTrackerEngine:
         return seg
 
     # ------------------------------------------------------------------
+    def _tables(self, work):
+        """Device-resident per-cell ROM tables, rebuilt when the tracked
+        cell set changes."""
+        key = tuple(_key(c) for c, _ in work)
+        P = max(c.n_ports for c, _ in work)
+        if self._dev_key == (key, P):
+            return self._dev_tables
+        C = len(work)
+        rs_conj_tab = np.zeros((C, 20, 7, 12, 2), np.float32)
+        shift_tab = np.zeros((C, 20, 7, P), np.int32)
+        pss_conj = np.zeros((C, 62, 2), np.float32)
+        sss_tab = np.zeros((C, 2, 62), np.float32)
+        for ci, (cell, _) in enumerate(work):
+            ctx = self.ctx[_key(cell)]
+            rs_conj_tab[ci] = bf.to_ri(np.conj(ctx.rs_tab))
+            shift_tab[ci, :, :, :cell.n_ports] = np.maximum(
+                ctx.shift_tab, 0)
+            pss_conj[ci] = bf.to_ri(ctx.pss_conj)
+            sss_tab[ci, 0] = ctx.sss0
+            sss_tab[ci, 1] = ctx.sss10
+        self._dev_tables = tuple(jnp.asarray(x) for x in (
+            rs_conj_tab, shift_tab, pss_conj, sss_tab))
+        self._dev_key = (key, P)
+        return self._dev_tables
+
+    # ------------------------------------------------------------------
     def process_all(self, cells: List[TrackedCell]) -> None:
         cells = [c for c in cells if not c.kill_me]
         live = {_key(c) for c in cells}
@@ -186,29 +245,24 @@ class BatchTrackerEngine:
         for c, _ in work:
             c.fifo.clear()
         if work:
-            syms_kept, ce_rows, keep_lists, rs_lists = \
-                self._dispatch_demod(work)
-            self._host_route(work, syms_kept, ce_rows, keep_lists, rs_lists)
-            self._dispatch_stats(work)
+            cyc = self._dispatch_demod(work)
+            self._host_route(work, cyc)
+            self._dispatch_stats(work, cyc)
         self._finalize(cells)
 
     # ------------------------------------------------------------------
     def _dispatch_demod(self, work):
-        """Dispatch 1: demod every pending symbol of every cell; extract
-        raw CE at every RS position. Only the symbols the host actually
-        consumes — sync-channel and PBCH symbols — and the RS-position
-        CEs come back to the host (device-side gather; the full symbol
-        grid never leaves the chip)."""
+        """Dispatch 1: demod every pending symbol of every cell from the
+        device-gathered raw stream; extract raw CE at every RS position;
+        compute sync-pair measurements. Only PBCH symbols, sync
+        measurement results and the tiny metadata come home — the symbol
+        grid and the raw CE rows stay on device."""
         state = self.state
         C = len(work)
         S = _bucket(max(len(p) for _, p in work))
         P = max(c.n_ports for c, _ in work)
+        cyc = {"cells": [], "C": C, "P": P}
 
-        # The descriptor mode ships the raw uint8 stream ONCE and gathers
-        # every cell's windows from it on device; legacy data-carrying
-        # PDUs are quantized back to the uint8 grid they came from (the
-        # tracker input contract is the uint8 sample FIFO, reference:
-        # src/LTE-Tracker.cpp:833-866) and uploaded per window.
         stream_mode = work[0][1][0].start is not None
         if stream_mode:
             starts = np.zeros((C, S), np.int64)
@@ -219,8 +273,6 @@ class BatchTrackerEngine:
         fo = np.zeros((C, S), np.float64)
         n_samp = np.full((C, S), 128.0 + 9.0)
         bpo0 = np.zeros(C, np.float64)
-        keep_lists = []     # per cell: si of sync/PBCH symbols
-        rs_lists = []       # per cell: (si, [ports]) of RS symbols
 
         for ci, (cell, pdus) in enumerate(work):
             ctx = self.ctx[_key(cell)]
@@ -242,255 +294,358 @@ class BatchTrackerEngine:
             late[ci, :n] = np.fromiter((p.late for p in pdus), np.float64, n)
             syms_n = np.fromiter((p.sym_num for p in pdus), np.int64, n)
             slots = np.fromiter((p.slot_num for p in pdus), np.int64, n)
+            fts = np.fromiter((p.frame_timing for p in pdus), np.float64, n)
             if cell.cp_type == "extended":
                 n_samp[ci, :n] = 128 + 32
             else:
                 n_samp[ci, :n] = np.where(syms_n == 0, 128 + 10, 128 + 9)
-            keep = np.nonzero(
-                (((slots == 0) | (slots == 10)) & (syms_n >= n_symb_dl - 2))
-                | ((slots == 1) & (syms_n <= 3)))[0].tolist()
-            rs_l = []
-            for si in np.nonzero(
-                    (syms_n == 0) | (syms_n == n_symb_dl - 3)
-                    | (syms_n == 1))[0]:
-                ports = [p for p in range(cell.n_ports) if not np.isnan(
-                    ctx.rs_dl.get_shift(slots[si], syms_n[si], p))]
-                if ports:
-                    rs_l.append((int(si), ports))
-            keep_lists.append(keep)
-            rs_lists.append(rs_l)
+            is_sync_slot = (slots == 0) | (slots == 10)
+            keep = np.nonzero((slots == 1) & (syms_n <= 3))[0]   # PBCH
+            sync_meta = np.nonzero(is_sync_slot
+                                   & (syms_n >= n_symb_dl - 2))[0]
+            # Complete SSS->PSS pairs inside this cycle.
+            sss_i = np.nonzero(is_sync_slot & (syms_n == n_symb_dl - 2))[0]
+            pairs = [(si, si + 1) for si in sss_i
+                     if si + 1 < n and syms_n[si + 1] == n_symb_dl - 1
+                     and slots[si + 1] == slots[si]]
+            has_rs = (ctx.shift_tab[slots, syms_n] >= 0).any(axis=1)
+            rs_sel = np.nonzero(has_rs)[0]
+            cyc["cells"].append({
+                "slots": slots, "syms": syms_n, "fo": fo_c, "ft": fts,
+                "rs_sel": rs_sel, "keep": keep, "sync_meta": sync_meta,
+                "pairs": pairs, "n": n,
+                "shift_r": ctx.shift_tab[slots[rs_sel], syms_n[rs_sel]],
+            })
 
-        Q = _bucket(max((len(k) for k in keep_lists), default=1), lo=2)
-        R = _bucket(max((len(r) for r in rs_lists), default=1), lo=2)
+        Q = _bucket(max((len(i["keep"]) for i in cyc["cells"]),
+                        default=1), lo=2)
+        R = _bucket(max((len(i["rs_sel"]) for i in cyc["cells"]),
+                        default=1), lo=2)
+        K = _bucket(max((len(i["pairs"]) for i in cyc["cells"]),
+                        default=1), lo=2)
         keep_idx = np.zeros((C, Q), np.int32)
         rs_idx = np.zeros((C, R), np.int32)
-        shift = np.zeros((C, R, P), np.int32)
-        rs_conj = np.zeros((C, R, P, 12, 2), np.float32)
-        for ci, (cell, pdus) in enumerate(work):
-            ctx = self.ctx[_key(cell)]
-            for qi, si in enumerate(keep_lists[ci]):
-                keep_idx[ci, qi] = si
-            for ri, (si, ports) in enumerate(rs_lists[ci]):
-                rs_idx[ci, ri] = si
-                pdu = pdus[si]
-                rs = ctx.rs_dl.get_rs(pdu.slot_num, pdu.sym_num)
-                rc = bf.to_ri(np.conj(rs))
-                for p in ports:
-                    shift[ci, ri, p] = int(
-                        ctx.rs_dl.get_shift(pdu.slot_num, pdu.sym_num, p))
-                    rs_conj[ci, ri, p] = rc
+        rs_slot = np.zeros((C, R), np.int32)
+        rs_sym = np.zeros((C, R), np.int32)
+        pair_idx = np.zeros((C, K, 2), np.int32)
+        pair_sel = np.zeros((C, K), np.int32)
+        for ci, info in enumerate(cyc["cells"]):
+            keep_idx[ci, :len(info["keep"])] = info["keep"]
+            sel = info["rs_sel"]
+            rs_idx[ci, :len(sel)] = sel
+            rs_slot[ci, :len(sel)] = info["slots"][sel]
+            rs_sym[ci, :len(sel)] = info["syms"][sel]
+            for pi, (a, b) in enumerate(info["pairs"]):
+                pair_idx[ci, pi] = (a, b)
+                pair_sel[ci, pi] = 0 if info["slots"][a] == 0 else 1
 
         bpo, _carry = bf.bulk_phase_offsets(bpo0, fo, n_samp)
         for ci, (cell, pdus) in enumerate(work):
             self.ctx[_key(cell)].bpo = float(bpo[ci, len(pdus) - 1])
 
+        rs_conj_tab, shift_tab, pss_conj, sss_tab = self._tables(work)
+        common = (jnp.asarray(foc_rate), jnp.asarray(bpo.astype(np.float32)),
+                  jnp.asarray(late), rs_conj_tab, shift_tab,
+                  jnp.asarray(rs_idx), jnp.asarray(rs_slot),
+                  jnp.asarray(rs_sym), jnp.asarray(keep_idx),
+                  jnp.asarray(pair_idx), jnp.asarray(pair_sel),
+                  pss_conj, sss_tab)
         if stream_mode:
-            lo = min(int(starts[ci, :len(p)].min())
-                     for ci, (_, p) in enumerate(work))
-            hi = max(int(starts[ci, :len(p)].max())
-                     for ci, (_, p) in enumerate(work)) + 128
+            lo = min(int(starts[ci, :info["n"]].min())
+                     for ci, info in enumerate(cyc["cells"]))
+            hi = max(int(starts[ci, :info["n"]].max())
+                     for ci, info in enumerate(cyc["cells"])) + 128
             seg = self._stream_segment(lo, hi)
-            # Pad the segment to a bucketed length: jit cache stability.
             L = _bucket(len(seg), lo=4096)
             seg = np.concatenate(
                 [seg, np.zeros((L - len(seg), 2), np.uint8)])
-            flat = _demod_stream_jit(
+            flat, ce_dev = _demod_stream_jit(
                 jnp.asarray(seg),
                 jnp.asarray((starts - lo).clip(0).astype(np.int32)),
-                jnp.asarray(foc_rate),
-                jnp.asarray(bpo.astype(np.float32)), jnp.asarray(late),
-                jnp.asarray(rs_conj), jnp.asarray(shift),
-                jnp.asarray(keep_idx), jnp.asarray(rs_idx))
+                *common)
         else:
-            flat = _demod_jit(
-                jnp.asarray(data), jnp.asarray(foc_rate),
-                jnp.asarray(bpo.astype(np.float32)), jnp.asarray(late),
-                jnp.asarray(rs_conj), jnp.asarray(shift),
-                jnp.asarray(keep_idx), jnp.asarray(rs_idx))
-        syms_kept, ce = _unpack(flat, [(C, Q, 72, 2), (C, R, P, 12, 2)])
-        return syms_kept, ce, keep_lists, rs_lists
+            flat, ce_dev = _demod_jit(jnp.asarray(data), *common)
+        kept, s_tp, s_sp, s_np, s_npb, s_ce = _unpack(flat, [
+            (C, Q, 72, 2), (C, K), (C, K), (C, K), (C, K), (C, 62, 2)])
+        cyc.update(kept=kept, sync=(s_tp, s_sp, s_np, s_npb, s_ce),
+                   ce_dev=ce_dev, R=R)
+        return cyc
 
     # ------------------------------------------------------------------
-    def _host_route(self, work, syms_kept, ce_rows, keep_lists,
-                    rs_lists) -> None:
-        """Route demodulated symbols and raw CEs into per-cell fifos."""
+    def _host_route(self, work, cyc) -> None:
+        """Assign sequence numbers; queue sync/PBCH symbols; build raw-CE
+        row METADATA per (cell, port) (values stay on device); stage the
+        sync measurements keyed by their PSS symbol's sequence number."""
+        s_tp, s_sp, s_np, s_npb, s_ce = cyc["sync"]
         for ci, (cell, pdus) in enumerate(work):
             ctx = self.ctx[_key(cell)]
-            kept = {si: qi for qi, si in enumerate(keep_lists[ci])}
+            info = cyc["cells"][ci]
             seq0 = ctx.seq
-            ctx.seq += len(pdus)
-            for si, pdu in enumerate(pdus):
-                qi = kept.get(si)
-                syms = (bf.from_ri(syms_kept[ci, qi])
-                        if qi is not None else None)
-                ctx.pending_syms.append(
-                    (seq0 + si, pdu.slot_num, pdu.sym_num, syms))
-            for ri, (si, ports) in enumerate(rs_lists[ci]):
-                pdu = pdus[si]
-                for port in ports:
-                    ctx.ce_raw_fifo[port].append(_RawCE(
-                        seq0 + si, int(ctx.rs_dl.get_shift(
-                            pdu.slot_num, pdu.sym_num, port)),
-                        pdu.slot_num, pdu.sym_num,
-                        bf.from_ri(ce_rows[ci, ri, port]),
-                        pdu.frequency_offset, pdu.frame_timing))
+            ctx.seq += info["n"]
+            info["seq0"] = seq0
+            kept = bf.from_ri(cyc["kept"][ci])               # (Q, 72)
+            interesting = {}
+            for qi, si in enumerate(info["keep"]):
+                interesting[int(si)] = kept[qi]
+            for si in info["sync_meta"]:
+                interesting.setdefault(int(si), None)
+            for si in sorted(interesting):
+                ctx.pending.append((seq0 + si, int(info["slots"][si]),
+                                    int(info["syms"][si]),
+                                    interesting[si]))
+            for pi, (a, b) in enumerate(info["pairs"]):
+                ctx.sync_vals[seq0 + b] = (
+                    int(info["slots"][a]), float(s_tp[ci, pi]),
+                    float(s_sp[ci, pi]), float(s_np[ci, pi]),
+                    float(s_npb[ci, pi]))
+            if info["pairs"]:
+                # display CE of the cell's last pair this cycle
+                ctx._sync_ce_latest = bf.from_ri(s_ce[ci])
+            rows_per_port = []
+            for port in range(cell.n_ports):
+                present = info["shift_r"][:, port] >= 0      # (Rc,)
+                ri = np.nonzero(present)[0]
+                sel = info["rs_sel"][ri]
+                meta = {
+                    "seq": seq0 + sel,
+                    "shift": info["shift_r"][ri, port],
+                    "slot": info["slots"][sel],
+                    "sym": info["syms"][sel],
+                    "fo": info["fo"][sel],
+                    "ft": info["ft"][sel],
+                }
+                rows_per_port.append((meta, ri))
+            info["rows"] = rows_per_port
 
     # ------------------------------------------------------------------
-    def _dispatch_stats(self, work) -> None:
-        """Dispatch 2: every complete RS triple, all cells at once; then
-        apply the feedback blends sequentially in host order."""
-        triples = []   # (ctx, port, prev, curr, next)
-        for cell, _ in work:
+    def _dispatch_stats(self, work, cyc) -> None:
+        """Dispatch 2: every complete RS triple gathered on device from
+        dispatch 1's CE rows + the uploaded 2-row carry; vectorized
+        feedback blends in host order."""
+        C, P, R = cyc["C"], cyc["P"], cyc["R"]
+        carry_vals = np.zeros((C, P, 2, 12, 2), np.float32)
+        carry_idx = np.zeros((C, P, 2), np.int32)
+        segments = []   # (ctx, ci, port, meta_full, t0, t1)
+        total = 0
+        for ci, (cell, _) in enumerate(work):
             ctx = self.ctx[_key(cell)]
             for port in range(cell.n_ports):
-                q = ctx.ce_raw_fifo[port]
-                while len(q) >= 3:
-                    triples.append((ctx, port, q[0], q[1], q[2]))
-                    q.popleft()
-        if not triples:
+                meta_new, ri = cyc["cells"][ci]["rows"][port]
+                carry_meta = ctx.meta_carry[port]
+                n_car = len(carry_meta["seq"])
+                if n_car:
+                    carry_vals[ci, port, :n_car] = bf.to_ri(
+                        ctx.ce_carry[port][-n_car:])
+                meta = _cat_meta(carry_meta, meta_new)
+                # combined row index space: carry block, then this
+                # cycle's ce rows (flattened (C, R, P)).
+                base_car = (ci * P + port) * 2
+                idx_car = base_car + np.arange(n_car)
+                idx_new = C * P * 2 + (ci * R + ri) * P + port
+                ri_comb = np.concatenate([idx_car, idx_new]).astype(np.int64)
+                n_tri = max(0, len(meta["seq"]) - 2)
+                segments.append((ctx, ci, port, meta, total, total + n_tri,
+                                 ri_comb))
+                total += n_tri
+                # Next cycle's carry: metadata now; values fetched below.
+                n_keep = min(2, len(ri_comb))
+                ctx.meta_carry[port] = _tail_meta(meta, n_keep)
+                carry_idx[ci, port, 2 - n_keep:] = ri_comb[-n_keep:] \
+                    if n_keep else 0
+                segments[-1] += (n_keep,)
+        if total == 0 and not any(s[-1] for s in segments):
             return
 
-        T = _bucket(len(triples))
-        cp = np.zeros((T, 12, 2), np.float32)
-        cc = np.zeros((T, 12, 2), np.float32)
-        cn = np.zeros((T, 12, 2), np.float32)
+        T = _bucket(max(1, total))
+        tri = np.zeros((T, 3), np.int32)
         pl = np.zeros(T, bool)
-        for i, (_, _, p, c, n) in enumerate(triples):
-            cp[i] = bf.to_ri(p.ce)
-            cc[i] = bf.to_ri(c.ce)
-            cn[i] = bf.to_ri(n.ce)
-            pl[i] = p.shift < c.shift
-        flat = _stats_jit(jnp.asarray(cp), jnp.asarray(cc),
-                          jnp.asarray(cn), jnp.asarray(pl))
-        (ce_filt, np_c, tp_c, sp_c, sp_raw, foe_comb, foe_np, delay,
-         delay_np, ac, ac_np) = _unpack(flat, [
-             (T, 12, 2), (T,), (T,), (T,), (T,), (T, 2), (T,), (T,),
-             (T,), (T, 12, 2), (T, 12)])
+        seg_id = np.full(T, C, np.int32)       # padded -> extra bucket
+        emit_rows = []                         # triple indices to fetch
+        for ctx, ci, port, meta, t0, t1, ri_comb, n_keep in segments:
+            if t1 == t0:
+                continue
+            tri[t0:t1, 0] = ri_comb[:-2]
+            tri[t0:t1, 1] = ri_comb[1:-1]
+            tri[t0:t1, 2] = ri_comb[2:]
+            pl[t0:t1] = meta["shift"][:-2] < meta["shift"][1:-1]
+            seg_id[t0:t1] = ci
+            # which filt rows the interp consumers need: brackets of
+            # pending sync/PBCH symbols + the final row (carry).
+            fseq = meta["seq"][1:-1]
+            cand = np.array([s for (s, *_r) in ctx.pending
+                             if s < fseq[-1]], dtype=np.int64)
+            need = {t1 - 1 - t0}
+            if len(cand):
+                j = np.clip(np.searchsorted(fseq, cand, side="right") - 1,
+                            0, max(0, len(fseq) - 2))
+                need.update(j.tolist())
+                need.update(np.minimum(j + 1, len(fseq) - 1).tolist())
+            emit_rows.append(t0 + np.array(sorted(need), dtype=np.int64))
+        emit_idx = np.concatenate(emit_rows) if emit_rows \
+            else np.zeros(0, np.int64)
+        E = _bucket(max(1, len(emit_idx)))
+        emit_pad = np.zeros(E, np.int32)
+        emit_pad[:len(emit_idx)] = emit_idx
+
+        flat = _stats_jit(cyc["ce_dev"], jnp.asarray(carry_vals),
+                          jnp.asarray(tri), jnp.asarray(pl),
+                          jnp.asarray(seg_id), jnp.asarray(emit_pad),
+                          jnp.asarray(carry_idx), C + 1)
+        (np_c, sp_c, foe_comb, foe_np, delay, delay_np, ce_filt_e, scal_e,
+         ac_sum, acw_sum, carry_out) = _unpack(flat, [
+             (T,), (T,), (T, 2), (T,), (T,), (T,),
+             (E, 12, 2), (E, 4),
+             (C + 1, 12, 2), (C + 1, 12), (C, P, 2, 12, 2)])
+
+        # Store next cycle's carry values (host side, robust to cell-set
+        # changes between cycles).
+        for ctx, ci, port, meta, t0, t1, ri_comb, n_keep in segments:
+            ce2 = carry_out[ci, port, :, :, 0] + 1j * carry_out[ci, port,
+                                                                :, :, 1]
+            ctx.ce_carry[port] = ce2[2 - n_keep:]
+
+        if total == 0:
+            return
 
         state = self.state
-        for i, (ctx, port, p, c, n) in enumerate(triples):
+        # ---- global FO blend: exact closed form in host (triple) order.
+        fo_p = np.concatenate([m["fo"][:-2][:t1 - t0]
+                               for _, _, _, m, t0, t1, _, _ in segments]
+                              or [np.zeros(0)])
+        ft_p = np.concatenate([m["ft"][:-2][:t1 - t0]
+                               for _, _, _, m, t0, t1, _, _ in segments]
+                              or [np.zeros(0)])
+        ft_n = np.concatenate([m["ft"][2:][:t1 - t0]
+                               for _, _, _, m, t0, t1, _, _ in segments]
+                              or [np.zeros(0)])
+        kf = (state.fc_requested - fo_p) / state.fc_programmed
+        dt = 0.0005 + (np.mod(ft_n - ft_p + _WRAP / 2, _WRAP) - _WRAP / 2) \
+            / (state.fs_programmed * kf)
+        fcx = foe_comb[:total, 0] + 1j * foe_comb[:total, 1]
+        est = fo_p + np.angle(fcx) / (2 * np.pi) / dt
+        est_np = np.maximum(foe_np[:total] / 2, 0.001)
+        w_new = 1.0 / est_np
+        alphas = w_new / (1e6 + w_new)      # prior_np = 1e-6
+        state.frequency_offset = float(_iir_chain(
+            state.frequency_offset, est, alphas))
+
+        # Map fetched emit rows back to positions in the fetch arrays.
+        emit_map = {int(g): i for i, g in enumerate(emit_idx)}
+
+        for ctx, ci, port, meta, t0, t1, ri_comb, n_keep in segments:
+            if t1 == t0:
+                continue
             cell = ctx.cell
-            filt = _FiltCE(c.seq, c.shift, c.slot_num, c.sym_num,
-                           float(tp_c[i]), float(sp_c[i]),
-                           float(sp_raw[i]), float(np_c[i]),
-                           bf.from_ri(ce_filt[i]))
-            # FOE blend (reference: tracker_thread.cpp:235-242)
-            fo = p.frequency_offset
-            k = (state.fc_requested - fo) / state.fc_programmed
-            dt = 0.0005 + (np.mod(n.frame_timing - p.frame_timing
-                                  + _WRAP / 2, _WRAP) - _WRAP / 2) \
-                / (state.fs_programmed * k)
-            fc = foe_comb[i, 0] + 1j * foe_comb[i, 1]
-            residual_f = float(np.angle(fc)) / (2 * np.pi) / dt
-            state.update_frequency_offset(
-                fo + residual_f, max(float(foe_np[i]) / 2, 0.001))
-            # TOE blend
-            cell.update_frame_timing(float(delay[i]), float(delay_np[i]),
-                                     c.frame_timing)
-            # AC measurements
-            ac_i = bf.from_ri(ac[i])
-            if cell.ac_fd is None:
-                cell.ac_fd = ac_i
-            else:
-                w0 = 1 / 0.00001
-                cell.ac_fd = (cell.ac_fd * w0 + ac_i / ac_np[i]) \
-                    / (w0 + 1 / ac_np[i])
-            hist = ctx.ce_history[port]
-            hist.append(c.ce)
-            if len(hist) == 72:
-                last = hist[71]
-                h = np.stack(hist)                    # (72, 12), h[71-t]
-                xc = (h[::-1] @ np.conj(last)) / 12.0 / float(sp_c[i])
+            # TOE: targets relative to cycle-start frame timing.
+            ft0 = cell.frame_timing
+            base = meta["ft"][1:-1]
+            tgt_raw = base + delay[t0:t1]
+            u = ft0 + (np.mod(tgt_raw - ft0 + _WRAP / 2, _WRAP) - _WRAP / 2)
+            w = 1.0 / np.maximum(delay_np[t0:t1], 1e-12)
+            al = w / (1e4 + w)               # prior_np = 1e-4
+            cell.frame_timing = float(np.mod(
+                _iir_chain(ft0, u, al), _WRAP))
+
+            self._emit_interp(ctx, port, meta, t0, t1, ce_filt_e, scal_e,
+                              emit_map)
+            ctx.horizon[port] = int(meta["seq"][-2])
+
+            # ac_td: once per cycle from the latest 72-deep history
+            # (carry values only reach 2 rows; use host history of the
+            # fetched carry rows — updated from ce_carry each cycle).
+            ctx.hist[port] = np.concatenate(
+                [ctx.hist[port], ctx.ce_carry[port]])[-72:]
+            if len(ctx.hist[port]) == 72:
+                h = ctx.hist[port]
+                xc = (h[::-1] @ np.conj(h[-1])) / 12.0 \
+                    / max(float(sp_c[t1 - 1]), 1e-12)
                 if cell.ac_td is None:
                     cell.ac_td = xc
                 else:
-                    w0 = 1 / 0.00001
+                    w0 = 1e5
                     cell.ac_td = (cell.ac_td * w0 + xc) / (w0 + 1)
-            self._consume_filt(ctx, port, filt)
 
-    # ------------------------------------------------------------------
-    def _consume_filt(self, ctx: _CellCtx, port: int, filt: _FiltCE) -> None:
-        """Bracketing interpolation at the symbols that need CE, keyed by
-        sequence number; advances the port's interpolation horizon."""
-        prev = ctx.ce_filt_last[port]
-        ctx.ce_filt_last[port] = filt
-        ctx.horizon[port] = filt.seq
-        if prev is None:
-            return
-        cell = ctx.cell
-        n_symb_dl = cell.n_symb_dl
-
-        if port > 2:
-            time_diff = 0.0005
-        elif cell.cp_type == "extended":
-            time_diff = 3 * (128 + 32) / (FS_LTE / 16)
-        elif prev.sym_num == 0:
-            time_diff = 4 * (128 + 9) / (FS_LTE / 16)
-        else:
-            time_diff = (2 * (128 + 9) + (128 + 10)) / (FS_LTE / 16)
-
-        prev_i = _interp72(prev)
-        curr_i = _interp72(filt)
-
-        def emit(seq, slot_num, sym_num, a):
-            if not ((slot_num == 1 and sym_num <= 3)
-                    or (slot_num in (0, 10) and sym_num in (5, 6))):
-                return
-            ce = prev_i + (curr_i - prev_i) * a
-            vals = {k: getattr(prev, k)
-                    + (getattr(filt, k) - getattr(prev, k)) * a
-                    for k in ("tp", "sp", "sp_raw", "np_")}
-            ctx.interp_points.setdefault(seq, {})[port] = (ce, vals)
-
-        if not ctx.backfilled[port]:
-            # Backfill from the first tracked symbol up to `prev` with the
-            # a=0 value (reference: ce_interp backfill, cell_tracker.py).
-            ctx.backfilled[port] = True
-            slot_b, sym_b = prev.slot_num, prev.sym_num
-            for seq_b in range(prev.seq - 1, -1, -1):
-                sym_b -= 1
-                if sym_b < 0:
-                    sym_b = n_symb_dl - 1
-                    slot_b = (slot_b - 1) % 20
-                emit(seq_b, slot_b, sym_b, 0.0)
-
-        slot_num, sym_num = prev.slot_num, prev.sym_num
-        seq = prev.seq
-        time_offset = 0.0
-        while seq != filt.seq:
-            emit(seq, slot_num, sym_num, time_offset / time_diff)
-            if cell.cp_type == "extended":
-                time_offset += (128 + 32) / (FS_LTE / 16)
+        # ---- per-cell AC diagnostics (aggregated on device).
+        for ci, (cell, _) in enumerate(work):
+            acs = ac_sum[ci, :, 0] + 1j * ac_sum[ci, :, 1]
+            ws = acw_sum[ci]
+            if not np.any(ws):
+                continue
+            if cell.ac_fd is None:
+                cell.ac_fd = acs / np.maximum(ws, 1e-30)
             else:
-                time_offset += ((128 + 10) if sym_num == 6 else (128 + 9)) \
-                    / (FS_LTE / 16)
-            sym_num = (sym_num + 1) % n_symb_dl
-            if sym_num == 0:
-                slot_num = (slot_num + 1) % 20
-            seq += 1
+                w0 = 1e5
+                cell.ac_fd = (cell.ac_fd * w0 + acs) / (w0 + ws)
 
     # ------------------------------------------------------------------
+    def _emit_interp(self, ctx: _CellCtx, port: int, meta, t0, t1,
+                     ce_filt_e, scal_e, emit_map) -> None:
+        """Bracketing interpolation at the pending sync/PBCH symbols
+        covered by this cycle's filtered-CE pairs (fetched emit rows)."""
+        cell = ctx.cell
+        fseq = meta["seq"][1:-1]
+        fshift = meta["shift"][1:-1]
+        fsym = meta["sym"][1:-1]
+        n_f = len(fseq)
+
+        def filt_at(j):
+            i = emit_map.get(t0 + j)
+            if i is None:
+                return None
+            ce = ce_filt_e[i, :, 0] + 1j * ce_filt_e[i, :, 1]
+            tp, sp, sp_raw, np_ = scal_e[i]
+            return {"ce_filt": ce, "tp": tp, "sp": sp, "sp_raw": sp_raw,
+                    "np_": np_, "seq": int(fseq[j]),
+                    "shift": int(fshift[j]), "sym": int(fsym[j])}
+
+        carry = ctx.filt_carry[port]
+        first = not ctx.backfilled[port]
+        lo_seq = int(carry["seq"]) if carry is not None else int(fseq[0])
+        hi_seq = int(fseq[-1])
+        cand = [(s, slot, sym) for (s, slot, sym, _) in ctx.pending
+                if s < hi_seq and (s >= lo_seq or first)]
+        for s, slot, sym in cand:
+            ctx.backfilled[port] = True
+            if carry is not None and s < int(fseq[0]):
+                prev, nxt = carry, filt_at(0)
+            elif s < int(fseq[0]):                  # backfill (a = 0)
+                prev, nxt = filt_at(0), filt_at(min(1, n_f - 1))
+            else:
+                j = int(np.clip(np.searchsorted(fseq, s, "right") - 1,
+                                0, max(0, n_f - 2)))
+                prev, nxt = filt_at(j), filt_at(min(j + 1, n_f - 1))
+            if prev is None or nxt is None:
+                continue
+            steps = s - prev["seq"]
+            a = 0.0 if steps < 0 else _a_value(
+                cell.cp_type, port, prev["sym"], int(steps))
+            ce_p = _interp72_mat(prev["shift"]) @ prev["ce_filt"]
+            ce_n = _interp72_mat(nxt["shift"]) @ nxt["ce_filt"]
+            ce = ce_p * (1 - a) + ce_n * a
+            vals = {k: float(prev[k] * (1 - a) + nxt[k] * a)
+                    for k in ("tp", "sp", "sp_raw", "np_")}
+            ctx.interp_points.setdefault(int(s), {})[port] = (ce, vals)
+        # carry the last filt row (always in the emit set)
+        last = filt_at(n_f - 1)
+        if last is not None:
+            ctx.filt_carry[port] = last
+
     def _finalize(self, cells: List[TrackedCell]) -> None:
-        """Consume finalized symbols in order: CRS measurement updates,
-        sync pairs (dispatch 3), PBCH collection and the batched MIB
-        decode (dispatch 4)."""
-        pairs = []     # (ctx, slot_num, sss_syms, pss_syms)
+        """Consume finalized symbols in order: sync/CRS measurement
+        updates, PBCH collection and the batched MIB decode."""
         for cell in cells:
             ctx = self.ctx.get(_key(cell))
             if ctx is None:
                 continue
             n_ports = cell.n_ports
             horizon = min(ctx.horizon[:n_ports]) if n_ports else -1
-            n_symb_dl = cell.n_symb_dl
-            while ctx.pending_syms and ctx.pending_syms[0][0] < horizon:
-                seq, slot_num, sym_num, syms = ctx.pending_syms.popleft()
+            while ctx.pending and ctx.pending[0][0] < horizon:
+                seq, slot_num, sym_num, syms = ctx.pending.popleft()
                 pt = ctx.interp_points.pop(seq, None)
                 if slot_num in (0, 10):
-                    if sym_num == n_symb_dl - 2:
-                        ctx.sss_sym = syms
-                    elif (sym_num == n_symb_dl - 1
-                          and ctx.sss_sym is not None):
-                        pairs.append((ctx, slot_num, ctx.sss_sym, syms))
+                    sv = ctx.sync_vals.pop(seq, None)
+                    if sv is not None:
+                        self._apply_sync(ctx, sv)
                     if sym_num in (5, 6) and pt is not None \
                             and len(pt) == n_ports:
                         self._crs_update(cell, pt)
@@ -500,86 +655,79 @@ class BatchTrackerEngine:
                     ce = np.stack([pt[p][0] for p in range(n_ports)])
                     np_ = np.array([pt[p][1]["np_"] for p in range(n_ports)])
                     ctx.mib_fifo.append((syms, ce, np_))
-
-        if pairs:
-            self._dispatch_sync(pairs)
         self._dispatch_mib(cells)
 
     # ------------------------------------------------------------------
-    def _dispatch_sync(self, pairs) -> None:
-        K = _bucket(len(pairs))
-        ps = np.zeros((K, 72, 2), np.float32)
-        ss = np.zeros((K, 72, 2), np.float32)
-        pc = np.zeros((K, 62, 2), np.float32)
-        sq = np.zeros((K, 62), np.float32)
-        for i, (ctx, slot_num, sss_syms, pss_syms) in enumerate(pairs):
-            ps[i] = bf.to_ri(pss_syms)
-            ss[i] = bf.to_ri(sss_syms)
-            pc[i] = bf.to_ri(ctx.pss_conj)
-            sq[i] = ctx.sss0 if slot_num == 0 else ctx.sss10
-        flat = _sync_jit(jnp.asarray(ps), jnp.asarray(ss), jnp.asarray(pc),
-                         jnp.asarray(sq))
-        tp, sp, np_e, np_b, ce_sm = _unpack(flat, [
-            (K,), (K,), (K,), (K,), (K, 62, 2)])
-        for i, (ctx, slot_num, *_unused) in enumerate(pairs):
-            cell = ctx.cell
-            cell.sync_tp, cell.sync_sp = float(tp[i]), float(sp[i])
-            cell.sync_np = float(np_e[i])
-            cell.sync_np_blank = float(np_b[i])
+    def _apply_sync(self, ctx: _CellCtx, sv) -> None:
+        cell = ctx.cell
+        _slot, tp, sp, np_e, np_b = sv
+        cell.sync_tp, cell.sync_sp = tp, sp
+        cell.sync_np, cell.sync_np_blank = np_e, np_b
+        if getattr(ctx, "_sync_ce_latest", None) is not None:
             cell.sync_ce = np.concatenate(
-                [np.zeros(5), bf.from_ri(ce_sm[i]), np.zeros(5)])
-            if np.isnan(cell.sync_sp_av):
-                cell.sync_tp_av, cell.sync_sp_av = cell.sync_tp, cell.sync_sp
-                cell.sync_np_av = cell.sync_np
-                cell.sync_np_blank_av = cell.sync_np_blank
-            else:
-                cell.sync_tp_av = 0.999 * cell.sync_tp_av + 0.001 * cell.sync_tp
-                cell.sync_sp_av = 0.999 * cell.sync_sp_av + 0.001 * cell.sync_sp
-                cell.sync_np_av = 0.999 * cell.sync_np_av + 0.001 * cell.sync_np
-                cell.sync_np_blank_av = (0.999 * cell.sync_np_blank_av
-                                         + 0.001 * cell.sync_np_blank)
+                [np.zeros(5), ctx._sync_ce_latest, np.zeros(5)])
+        if np.isnan(cell.sync_sp_av):
+            cell.sync_tp_av, cell.sync_sp_av = tp, sp
+            cell.sync_np_av, cell.sync_np_blank_av = np_e, np_b
+        else:
+            cell.sync_tp_av = 0.999 * cell.sync_tp_av + 0.001 * tp
+            cell.sync_sp_av = 0.999 * cell.sync_sp_av + 0.001 * sp
+            cell.sync_np_av = 0.999 * cell.sync_np_av + 0.001 * np_e
+            cell.sync_np_blank_av = (0.999 * cell.sync_np_blank_av
+                                     + 0.001 * np_b)
 
     # ------------------------------------------------------------------
     def _dispatch_mib(self, cells: List[TrackedCell]) -> None:
-        # Drain every full 4-frame window (a long processing cycle can
-        # deliver several).
-        while self._mib_round(cells):
-            pass
-
-    def _mib_round(self, cells: List[TrackedCell]) -> bool:
-        ready = []
-        for cell in cells:
-            ctx = self.ctx.get(_key(cell))
-            if (ctx is not None and not cell.kill_me
-                    and len(ctx.mib_fifo) >= 16):
-                ready.append((ctx, cell))
-        if not ready:
-            return False
-        llrs = [_mib_soft(ctx, cell) for ctx, cell in ready]
-        B = _bucket(len(llrs))
-        batch = np.zeros((B,) + llrs[0].shape, np.float32)
-        for i, x in enumerate(llrs):
-            batch[i] = x
-        dec = np.asarray(lte_conv_decode_batch(jnp.asarray(batch)))
-        for (ctx, cell), c_est in zip(ready, dec):
-            ok = _mib_check(cell, c_est.astype(np.uint8))
-            if ok:
-                ctx.mib_fifo_synchronized = True
-                cell.mib_decode_failures = 0.0
-                cell.mib_decode_successes += 1
-                for _ in range(16):
-                    ctx.mib_fifo.popleft()
-            elif ctx.mib_fifo_synchronized:
-                cell.mib_decode_failures += 1
-                for _ in range(16):
-                    ctx.mib_fifo.popleft()
-            else:
-                cell.mib_decode_failures += 0.25
-                for _ in range(4):
-                    ctx.mib_fifo.popleft()
-            if cell.mib_decode_failures >= cell.drop_threshold:
-                cell.kill_me = True
-        return True
+        """Batched MIB decode: synchronized cells contribute every full
+        4-frame window at once; hunting cells slide one frame per round
+        (their window depends on the previous round's outcome)."""
+        while True:
+            jobs = []       # (ctx, cell, window, already_popped)
+            for cell in cells:
+                ctx = self.ctx.get(_key(cell))
+                if ctx is None or cell.kill_me:
+                    continue
+                if ctx.mib_fifo_synchronized:
+                    while len(ctx.mib_fifo) >= 16 and not cell.kill_me:
+                        win = [ctx.mib_fifo.popleft() for _ in range(16)]
+                        jobs.append((ctx, cell, win, True))
+                elif len(ctx.mib_fifo) >= 16:
+                    jobs.append((ctx, cell,
+                                 [ctx.mib_fifo[i] for i in range(16)],
+                                 False))
+            if not jobs:
+                return
+            llrs = [_mib_soft(ctx, cell, win) for ctx, cell, win, _ in jobs]
+            B = _bucket(len(llrs))
+            batch = np.zeros((B,) + llrs[0].shape, np.float32)
+            for i, x in enumerate(llrs):
+                batch[i] = x
+            dec = np.asarray(lte_conv_decode_batch(jnp.asarray(batch)))
+            again = False
+            for (ctx, cell, win, popped), c_est in zip(jobs, dec):
+                ok = _mib_check(cell, c_est.astype(np.uint8))
+                if popped:          # synchronized-cell window
+                    if ok:
+                        cell.mib_decode_failures = 0.0
+                        cell.mib_decode_successes += 1
+                    else:
+                        cell.mib_decode_failures += 1
+                elif ok:            # hunting cell locks on
+                    for _ in range(16):
+                        ctx.mib_fifo.popleft()
+                    ctx.mib_fifo_synchronized = True
+                    cell.mib_decode_failures = 0.0
+                    cell.mib_decode_successes += 1
+                    again = True
+                else:               # hunting: slide one frame
+                    cell.mib_decode_failures += 0.25
+                    for _ in range(4):
+                        ctx.mib_fifo.popleft()
+                    again = True
+                if cell.mib_decode_failures >= cell.drop_threshold:
+                    cell.kill_me = True
+            if not again:
+                return
 
     def _crs_update(self, cell: TrackedCell, pt) -> None:
         tp = np.array([pt[p][1]["tp"] for p in range(cell.n_ports)])
@@ -619,50 +767,80 @@ def _unpack(flat, shapes):
     return out
 
 
-def _demod_core(data, foc_rate, bpo, late, rs_conj, shift, keep_idx, rs_idx):
+def _demod_core(data, foc_rate, bpo, late, rs_conj_tab, shift_tab,
+                rs_idx, rs_slot, rs_sym, keep_idx, pair_idx, pair_sel,
+                pss_conj, sss_tab):
     syms = bf.get_fd_batch(data, foc_rate, bpo, late)     # (C, S, 72, 2)
-    # Device-side gathers: only sync/PBCH symbols and RS-position CEs go
-    # back to the host.
+    C = syms.shape[0]
+    cidx = jnp.arange(C, dtype=jnp.int32)[:, None]
+    # PBCH symbols home; everything else consumed on device.
     kept = jnp.take_along_axis(syms, keep_idx[:, :, None, None], axis=1)
+    # raw CE at RS rows, sequences from the device-resident tables
     syms_rs = jnp.take_along_axis(syms, rs_idx[:, :, None, None], axis=1)
-    ce = bf.raw_ce_batch(syms_rs[:, :, None], rs_conj, shift)
-    return _pack(kept, ce)
+    rs_conj = rs_conj_tab[cidx, rs_slot, rs_sym]          # (C, R, 12, 2)
+    shift = shift_tab[cidx, rs_slot, rs_sym]              # (C, R, P)
+    ce = bf.raw_ce_batch(syms_rs[:, :, None], rs_conj[:, :, None],
+                         shift)                           # (C, R, P, 12, 2)
+    # sync-pair measurements
+    sss_syms = jnp.take_along_axis(syms, pair_idx[:, :, 0][..., None, None],
+                                   axis=1)
+    pss_syms = jnp.take_along_axis(syms, pair_idx[:, :, 1][..., None, None],
+                                   axis=1)
+    sss_seq = jnp.take_along_axis(sss_tab, pair_sel[:, :, None], axis=1)
+    sync = bf.sync_meas_batch(pss_syms, sss_syms, pss_conj[:, None],
+                              sss_seq)
+    # latest pair's smoothed CE per cell (display)
+    n_pairs = jnp.maximum(jnp.sum(pair_idx[:, :, 1] > 0, axis=1) - 1, 0)
+    ce_last = jnp.take_along_axis(
+        sync["ce_smooth"], n_pairs[:, None, None, None], axis=1)[:, 0]
+    flat = _pack(kept, sync["tp"], sync["sp"], sync["np"],
+                 sync["np_blank"], ce_last)
+    return flat, ce
 
 
 @jax.jit
-def _demod_jit(data, foc_rate, bpo, late, rs_conj, shift, keep_idx, rs_idx):
+def _demod_jit(data, *args):
     data = (data.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
-    return _demod_core(data, foc_rate, bpo, late, rs_conj, shift,
-                       keep_idx, rs_idx)
+    return _demod_core(data, *args)
 
 
 @jax.jit
-def _demod_stream_jit(seg, starts, foc_rate, bpo, late, rs_conj, shift,
-                      keep_idx, rs_idx):
+def _demod_stream_jit(seg, starts, *args):
     """Stream-gather demod: every cell's windows are sliced out of the
     once-uploaded raw stream on device."""
     x = (seg.astype(jnp.float32) - 127.0) * (1.0 / 128.0)   # (L, 2)
     idx = starts[:, :, None] + jnp.arange(128, dtype=jnp.int32)
     data = x[idx]                                           # (C, S, 128, 2)
-    return _demod_core(data, foc_rate, bpo, late, rs_conj, shift,
-                       keep_idx, rs_idx)
+    return _demod_core(data, *args)
 
 
-@jax.jit
-def _stats_jit(cp, cc, cn, pl):
+@functools.partial(jax.jit, static_argnames=("n_seg",))
+def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
+               n_seg):
+    rows = jnp.concatenate([carry_vals.reshape(-1, 12, 2),
+                            ce_dev.reshape(-1, 12, 2)])
+    cp = rows[tri[:, 0]]
+    cc = rows[tri[:, 1]]
+    cn = rows[tri[:, 2]]
     ce_filt, np_c, tp_c, sp_c, sp_raw = bf.filter_ce_batch(cp, cc, cn, pl)
     foe_comb, foe_np = bf.foe_stats_batch(cp, cn, ce_filt, np_c)
     delay, delay_np = bf.toe_stats_batch(cp, cc, sp_c, np_c, pl)
     ac, ac_np = bf.ac_fd_batch(cc, sp_c, np_c)
-    return _pack(ce_filt, np_c, tp_c, sp_c, sp_raw, foe_comb, foe_np,
-                 delay, delay_np, ac, ac_np)
 
+    # AC aggregation per cell (diagnostics; weight-summed on device).
+    w = 1.0 / jnp.maximum(ac_np, 1e-30)
+    ac_sum = jax.ops.segment_sum(ac * w[..., None], seg_id,
+                                 num_segments=n_seg)
+    acw_sum = jax.ops.segment_sum(w, seg_id, num_segments=n_seg)
 
-@jax.jit
-def _sync_jit(pss_sym, sss_sym, pss_conj, sss_seq):
-    out = bf.sync_meas_batch(pss_sym, sss_sym, pss_conj, sss_seq)
-    return _pack(out["tp"], out["sp"], out["np"], out["np_blank"],
-                 out["ce_smooth"])
+    # Emit rows (brackets the host interpolation needs) + raw carry rows.
+    scal = jnp.stack([tp_c, sp_c, sp_raw, np_c], axis=-1)   # (T, 4)
+    ce_filt_e = ce_filt[emit_idx]                           # (E, 12, 2)
+    scal_e = scal[emit_idx]                                 # (E, 4)
+    carry_out = rows[carry_idx]                             # (C, P, 2, 12, 2)
+
+    return _pack(np_c, sp_c, foe_comb, foe_np, delay, delay_np,
+                 ce_filt_e, scal_e, ac_sum, acw_sum, carry_out)
 
 
 # ----------------------------------------------------------------------
@@ -683,14 +861,37 @@ def _interp72_mat(shift: int) -> np.ndarray:
     return m
 
 
-def _interp72(rs: _FiltCE) -> np.ndarray:
-    return _interp72_mat(rs.shift) @ rs.ce_filt
+@functools.lru_cache(maxsize=256)
+def _a_value(cp_type: str, port: int, prev_sym_num: int,
+             steps: int) -> float:
+    """Interpolation fraction for a symbol `steps` positions after the
+    previous filtered-CE symbol (cell_tracker.py _interp2d's
+    time_offset / time_diff, reference tracker_thread.cpp:372-477)."""
+    n_symb_dl = 7 if cp_type == "normal" else 6
+    if port > 2:
+        time_diff = 0.0005
+    elif cp_type == "extended":
+        time_diff = 3 * (128 + 32) / (FS_LTE / 16)
+    elif prev_sym_num == 0:
+        time_diff = 4 * (128 + 9) / (FS_LTE / 16)
+    else:
+        time_diff = (2 * (128 + 9) + (128 + 10)) / (FS_LTE / 16)
+    time_offset = 0.0
+    sym = prev_sym_num
+    for _ in range(steps):
+        if cp_type == "extended":
+            time_offset += (128 + 32) / (FS_LTE / 16)
+        else:
+            time_offset += ((128 + 10) if sym == 6 else (128 + 9)) \
+                / (FS_LTE / 16)
+        sym = (sym + 1) % n_symb_dl
+    return time_offset / time_diff
 
 
-def _mib_soft(ctx: _CellCtx, cell: TrackedCell) -> np.ndarray:
+def _mib_soft(ctx: _CellCtx, cell: TrackedCell, win) -> np.ndarray:
     """SFBC compensation + soft demod + descramble + deratematch for one
-    cell's 16-PDU window (same math as CellTracker._try_decode_mib up to
-    the Viterbi, which runs batched on device)."""
+    16-PDU window (same math as CellTracker._try_decode_mib up to the
+    Viterbi, which runs batched on device)."""
     n_syms = 960 if cell.cp_type == "normal" else 864
     v_shift_m3 = cell.n_id_cell % 3
     sc = np.arange(72)
@@ -703,7 +904,7 @@ def _mib_soft(ctx: _CellCtx, cell: TrackedCell) -> np.ndarray:
             rs_here = symn in (0, 1) or (symn == 3
                                          and cell.cp_type == "extended")
             mask = ~((sc % 3 == v_shift_m3) & rs_here)
-            syms, ce, np_ = ctx.mib_fifo[fr * 4 + symn]
+            syms, ce, np_ = win[fr * 4 + symn]
             cnt = int(mask.sum())
             pbch_sym[idx:idx + cnt] = syms[mask]
             pbch_ce[:, idx:idx + cnt] = ce[:cell.n_ports][:, mask]
