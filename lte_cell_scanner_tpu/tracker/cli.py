@@ -41,6 +41,14 @@ def build_parser():
     p.add_argument("--blocks", type=int, default=None,
                    help="stop after N 10000-sample blocks (default: forever)")
     p.add_argument("--backend", choices=("numpy", "jax"), default="numpy")
+    p.add_argument("--batch", action="store_true",
+                   help="use the batched device tracker data plane")
+    p.add_argument("--engine-every", type=int, default=1,
+                   help="batched-engine dispatch cadence in 10k-sample "
+                        "blocks")
+    p.add_argument("--display", action="store_true",
+                   help="interactive curses UI (j/k select, h/l views, "
+                        "? help)")
     p.add_argument("--expert", action="store_true")
     p.add_argument("-v", "--verbose", action="count", default=1)
     return p
@@ -75,6 +83,7 @@ def main(argv=None) -> int:
             print(f"[{kind}] {info}")
 
     trk = LTETracker(args.freq_center, backend=args.backend,
+                     batch=args.batch, engine_every=args.engine_every,
                      on_event=on_event)
     try:
         trk.kalibrate(playback_source(sig, repeat=args.repeat,
@@ -85,6 +94,11 @@ def main(argv=None) -> int:
 
     src = playback_source(sig, repeat=args.repeat,
                           noise_power=args.noise_power, seed=1)
+    if args.display:
+        from lte_cell_scanner_tpu.tracker.curses_display import run_curses
+
+        run_curses(trk, src, max_blocks=args.blocks)
+        return 0
     blocks_per_status = 200
     done = 0
     while args.blocks is None or done < args.blocks:

@@ -157,6 +157,29 @@ def matlab_mod(x, m):
     return np.mod(x, m)
 
 
+def diff(x: np.ndarray) -> np.ndarray:
+    """First difference (reference: itpp_ext.h diff / src/itpp_ext.cpp)."""
+    return np.diff(np.asarray(x))
+
+
+def and_reduce(x) -> bool:
+    """All-true reduction over a boolean vector (itpp_ext.h and_reduce)."""
+    return bool(np.all(x))
+
+
+def last(x):
+    """Final element (itpp_ext.h last)."""
+    return np.asarray(x).reshape(-1)[-1]
+
+
+def flatten(x) -> np.ndarray:
+    """Flatten nested/3-D structure into a 1-D vector
+    (itpp_ext.h flatten of vector<vector<cvec>>)."""
+    if isinstance(x, np.ndarray):
+        return x.reshape(-1)
+    return np.concatenate([flatten(np.asarray(e)) for e in x])
+
+
 def matlab_range(start: float, step: float, stop: float) -> np.ndarray:
     """MATLAB colon operator start:step:stop (stop inclusive, fp-safe).
 

@@ -211,3 +211,13 @@ def test_device_viterbi_matches_host():
     dev = np.asarray(lte_conv_decode_batch(llrs))
     for b in range(B):
         np.testing.assert_array_equal(dev[b], lte_conv_decode(llrs[b]))
+
+
+def test_matlab_compat_helpers():
+    from lte_cell_scanner_tpu.utils.dsp import and_reduce, diff, flatten, last
+
+    np.testing.assert_array_equal(diff([1, 4, 9]), [3, 5])
+    assert and_reduce([True, True]) and not and_reduce([True, False])
+    assert last([1, 2, 7]) == 7
+    np.testing.assert_array_equal(
+        flatten([[np.arange(2), np.arange(2) + 2]]), np.arange(4))

@@ -98,3 +98,42 @@ def test_overload_drops_seconds(sim_signal):
     before = trk.state.cell_seconds_dropped
     tracker.process_available()
     assert trk.state.cell_seconds_dropped > before
+
+
+def test_curses_display_renderer(sim_signal):
+    """The interactive UI renderer is a pure function of tracker state."""
+    from lte_cell_scanner_tpu.tracker.curses_display import (
+        UIState, VIEWS, handle_key, render_frame)
+
+    trk = LTETracker(739e6, initial_freq_offset=4000.0)
+    trk.run(playback_source(sim_signal), max_blocks=300)
+    assert trk.cells
+
+    ui = UIState()
+    for v in range(len(VIEWS)):
+        ui.view = v
+        frame = render_frame(trk, ui)
+        assert any("271" in ln for ln in frame)
+        assert len(frame) >= 4
+    # detail views render plots once measurements exist
+    ui.view = VIEWS.index("ce_mag")
+    frame = "\n".join(render_frame(trk, ui))
+    assert "|CE| dB" in frame
+    ui.view = VIEWS.index("sync")
+    frame = "\n".join(render_frame(trk, ui))
+    assert "sync channel" in frame
+
+    # keyboard loop
+    ui = UIState()
+    handle_key(ui, "l", 1)
+    assert ui.view == 1
+    handle_key(ui, "h", 1)
+    handle_key(ui, "h", 1)
+    assert ui.view == len(VIEWS) - 1
+    handle_key(ui, "+", 1)
+    assert ui.refresh_hz == 2.0
+    handle_key(ui, "e", 1)
+    assert ui.expert
+    handle_key(ui, "?", 1)
+    frame = "\n".join(render_frame(trk, ui))
+    assert "keys:" in frame
