@@ -24,7 +24,6 @@ leave the MXU idle.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import numpy as np

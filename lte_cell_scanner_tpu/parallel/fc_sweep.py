@@ -1,0 +1,87 @@
+"""Data-parallel fc sweep: whole captures sharded across the device mesh.
+
+The carrier-frequency loop is the reference's outermost, embarrassingly
+parallel axis (src/CellSearch.cpp:471; SURVEY §2.9 names it the primary
+TPU scaling axis). Each device runs the complete single-capture scan —
+correlation bank, incoherent k_factor fold, delay-spread smoothing, power
+estimate, threshold, greedy peak extraction — on its share of the
+captures; the only host traffic is the per-capture peak tables (~1 KB
+each). Combined with the (seq, hyp) sharding in sharded_search.py this
+covers all three parallel axes of the problem.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lte_cell_scanner_tpu.constants import DS_COMB_ARM, HALF_FRAME, PSS_TD_LEN
+from lte_cell_scanner_tpu.models.cell import Cell
+from lte_cell_scanner_tpu.ops.peak_jax import (
+    peak_search_device,
+    peaks_to_cells,
+    r_th1_normalized,
+)
+from lte_cell_scanner_tpu.ops.xcorr import fold_start_indices, shifted_templates
+from lte_cell_scanner_tpu.ops.xcorr_jax import _xcorr_core
+
+
+def make_cap_mesh(n_cap_shards: int) -> Mesh:
+    devs = np.array(jax.devices()[:n_cap_shards])
+    return Mesh(devs, axis_names=("cap",))
+
+
+def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
+                     f_search_set: np.ndarray, mesh: Mesh,
+                     fs_programmed: float = 1.92e6,
+                     ds_comb_arm: int = DS_COMB_ARM,
+                     max_peaks: int = 32) -> List[List[Cell]]:
+    """Scan B captures (one per center frequency) data-parallel over the
+    ``cap`` mesh axis. Returns the candidate peak list per capture.
+
+    B must be a multiple of the mesh size. Each capture gets its own
+    frequency-shifted template bank and fold schedule (fc-dependent
+    k_factor arithmetic), built on host and sharded alongside it.
+    """
+    capbufs = np.asarray(capbufs)
+    B, n_cap = capbufs.shape
+    n_shards = mesh.shape["cap"]
+    if B % n_shards:
+        raise ValueError(f"B={B} not divisible by cap shards {n_shards}")
+    f_search_set = np.asarray(f_search_set, dtype=np.float64)
+    n_lags = n_cap - (PSS_TD_LEN - 1)
+    n_comb_xc = (n_lags - 100) // HALF_FRAME
+    n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME
+    r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm)
+
+    cap_ri = np.stack([capbufs.real, capbufs.imag], -1).astype(np.float32)
+    tre = np.zeros((B, 3 * len(f_search_set), PSS_TD_LEN), np.float32)
+    tim = np.zeros_like(tre)
+    starts = np.zeros((B, len(f_search_set), n_comb_xc), np.int32)
+    for b, fc in enumerate(fc_list):
+        tpl = shifted_templates(f_search_set, fc, fc,
+                                fs_programmed).reshape(-1, PSS_TD_LEN)
+        tre[b] = tpl.real
+        tim[b] = tpl.imag
+        starts[b] = fold_start_indices(f_search_set, n_comb_xc, fc, fc,
+                                       fs_programmed)
+
+    def scan_one(cap, tr, ti, st):
+        packed, single, _ = _xcorr_core(cap, tr, ti, st,
+                                        n_comb_sp=n_comb_sp,
+                                        ds_comb_arm=ds_comb_arm)
+        return peak_search_device(packed, single, r_norm, ds_comb_arm,
+                                  max_peaks=max_peaks)
+
+    sweep = jax.vmap(scan_one)
+    shard = NamedSharding(mesh, P("cap"))
+    args = [jax.device_put(jnp.asarray(x), shard)
+            for x in (cap_ri, tre, tim, starts)]
+    tables = np.asarray(jax.jit(sweep)(*args))
+
+    return [peaks_to_cells(tables[b], f_search_set, fc, fc, fs_programmed)
+            for b, fc in enumerate(fc_list)]

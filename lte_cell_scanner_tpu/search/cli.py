@@ -17,7 +17,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
 
 from lte_cell_scanner_tpu.io.capture import CaptureSource
 from lte_cell_scanner_tpu.search.cell_search import (

@@ -23,7 +23,6 @@ import copy
 import json
 import time
 
-import numpy as np
 
 from lte_cell_scanner_tpu.io.simulator import synthetic_capture
 from lte_cell_scanner_tpu.tracker import LTETracker

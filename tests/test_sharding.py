@@ -51,3 +51,48 @@ def test_sharded_end_to_end_detection(capbuf_0000):
     assert peaks, "no peaks found on the reference capture"
     assert peaks[0].n_id_2 == 1  # cell 271/277 site transmits PSS 1
     assert peaks[0].freq == 35000.0
+
+
+def test_data_parallel_fc_sweep():
+    """8 captures sharded over the cap axis find the same peaks as the
+    host path per capture."""
+    import numpy as np
+
+    from lte_cell_scanner_tpu.constants import DS_COMB_ARM, THRESH1_N_NINES
+    from lte_cell_scanner_tpu.models.pss import pss_td
+    from lte_cell_scanner_tpu.ops.peak import peak_search
+    from lte_cell_scanner_tpu.ops.xcorr import xcorr_pss
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_fc_sweep)
+    from lte_cell_scanner_tpu.search.cell_search import detection_threshold
+
+    rng = np.random.default_rng(9)
+    n = 48000
+    fset = np.arange(-2, 3) * 5e3
+    caps, fcs = [], []
+    for b in range(8):
+        cap = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.05
+        n2 = b % 3
+        tpl = pss_td(n2)
+        t = np.arange(137)
+        sh = tpl * np.exp(1j * 2 * np.pi * (b - 4) * 3e3 * t / 1.92e6)
+        for k in range(300 + 700 * b, n - 137, 9600):
+            cap[k:k + 137] += 0.35 * sh
+        caps.append(cap)
+        fcs.append(700e6 + b * 100e3)
+    caps = np.stack(caps)
+
+    mesh = make_cap_mesh(8)
+    got = sharded_fc_sweep(caps, fcs, fset, mesh)
+
+    for b in range(8):
+        r = xcorr_pss(caps[b], fset, DS_COMB_ARM, fcs[b], fcs[b], 1.92e6,
+                      backend="numpy")
+        z = detection_threshold(r.sp_incoherent, r.n_comb_xc, DS_COMB_ARM,
+                                THRESH1_N_NINES)
+        want = peak_search(r.xc_incoherent_collapsed_pow,
+                           r.xc_incoherent_collapsed_frq, z, fset, fcs[b],
+                           fcs[b], r.xc_incoherent_single, DS_COMB_ARM)
+        assert len(got[b]) == len(want) >= 1
+        for a, w in zip(got[b], want):
+            assert (a.n_id_2, a.ind, a.freq) == (w.n_id_2, w.ind, w.freq)
