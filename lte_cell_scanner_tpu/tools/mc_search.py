@@ -150,11 +150,25 @@ def main(argv=None):
     ap.add_argument("--trials", type=int, default=20)
     ap.add_argument("--snr-db", type=float, default=None,
                     help="AWGN SNR; omit for noise-free")
+    ap.add_argument("--snr-sweep", type=str, default=None,
+                    help="comma-separated SNRs; validates the detection "
+                         "floor (reference claims sync ~-12 dB, MIB "
+                         "~-10 dB, src/searcher.cpp:99-104)")
     ap.add_argument("--fading", action="store_true")
     ap.add_argument("--backend", default="jax", choices=["numpy", "jax"])
     ap.add_argument("--ppm", type=float, default=30.0)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+
+    if args.snr_sweep:
+        print("SNR(dB)  detect   MIB      false")
+        for snr in (float(s) for s in args.snr_sweep.split(",")):
+            st = run_mc(args.trials, snr, fading=args.fading,
+                        backend=args.backend, seed=args.seed, ppm=args.ppm,
+                        verbose=0)
+            print(f"{snr:7.1f}  {st.detections / st.trials:6.1%}  "
+                  f"{st.mib_successes / st.trials:6.1%}  {st.false_cells}")
+        return
 
     stats = run_mc(args.trials, args.snr_db, fading=args.fading,
                    backend=args.backend, seed=args.seed, ppm=args.ppm)

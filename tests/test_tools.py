@@ -113,3 +113,22 @@ def test_sss_td_contract():
     fd = dft(td[9:]) / np.sqrt(128.0 / 62.0)
     got = np.concatenate([fd[97:128], fd[1:32]])
     np.testing.assert_allclose(got, sss_fd(23, 1, 10), atol=1e-12)
+
+
+def test_stage_timer_report():
+    import time
+
+    from lte_cell_scanner_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    with timer("scan", items=1000):
+        time.sleep(0.01)
+    with timer("scan", items=1000):
+        pass
+    with timer("peaks"):
+        pass
+    rep = timer.report(unit="samples")
+    assert "scan" in rep and "peaks" in rep and "samples/s" in rep
+    assert timer.stages["scan"].calls == 2
+    assert timer.stages["scan"].items == 2000
+    assert timer.stages["scan"].seconds >= 0.01
