@@ -64,3 +64,38 @@ def test_batch_engine_drop_and_reacquire(sim_signal):
     trk.run(playback_source(sim_signal), max_blocks=600)
     assert events.count("cell_acquired") >= 2
     assert trk.cells and trk.cells[0].n_id_cell == 271
+
+
+def test_batch_engine_extended_cp():
+    sig = synthetic_capture(n_id_1=44, n_id_2=2, cp_type="extended",
+                            snr_db=15, freq_offset=-3e3, n_subframes=400,
+                            sfn_start=4, seed=9)
+    trk = LTETracker(739e6, initial_freq_offset=-3000.0, batch=True)
+    trk.run(playback_source(sig), max_blocks=400)
+    st = trk.status()
+    assert len(st["cells"]) == 1
+    c = st["cells"][0]
+    assert c["n_id_cell"] == 44 * 3 + 2
+    assert c["cp_type"] == "extended"
+    assert c["mib_successes"] > 5
+    assert c["health"] == 1.0
+
+
+def test_batch_engine_two_cells_coarse_cadence():
+    """Two superposed cells, engine dispatch every 10 blocks (52 ms)."""
+    a = synthetic_capture(n_id_1=90, n_id_2=1, snr_db=None,
+                          freq_offset=4e3, n_subframes=400, seed=5)
+    b = synthetic_capture(n_id_1=20, n_id_2=0, snr_db=None,
+                          freq_offset=4.3e3, n_subframes=400, seed=6)
+    sig = a + 0.7 * np.roll(b, 3121)
+    sig += (np.random.default_rng(1).standard_normal(len(sig))
+            + 1j * np.random.default_rng(2).standard_normal(len(sig))) * 0.1
+    trk = LTETracker(739e6, initial_freq_offset=4000.0, batch=True,
+                     engine_every=10)
+    trk.run(playback_source(sig), max_blocks=1500)
+    st = trk.status()
+    ids = sorted(c["n_id_cell"] for c in st["cells"])
+    assert ids == [60, 271]
+    for c in st["cells"]:
+        assert c["mib_successes"] > 3
+        assert c["health"] == 1.0
