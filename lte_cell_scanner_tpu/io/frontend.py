@@ -1,0 +1,99 @@
+"""Capture-buffer front end: frequency shift + 6-RB decimating FIR.
+
+The reference captures at 1.92 Msps directly from the dongle, so its only
+front-end processing is the uint8 conversion. This module adds the
+wideband path the TPU deployment needs: captures recorded at any integer
+multiple of 1.92 Msps (e.g. 15.36/30.72 Msps full-band LTE recordings)
+are frequency-shifted to center the target carrier and decimated to the
+6-RB 1.92 Msps analysis rate through an anti-alias FIR.
+
+The passband matches the searcher's occupancy assumption
+(rx_cutoff = (6*12*15e3/2 + 4*15e3) of half the 960 kHz Nyquist,
+src/CellSearch.cpp:501); the FIR is a Kaiser-windowed sinc designed for
+>60 dB stopband rejection.
+
+TPU mapping: polyphase decimation is expressed as ONE matmul — the input
+reshapes to (n_out, decim) blocks, a (n_taps_per_phase, decim) tap matrix
+contracts both axes — so the front end runs on the MXU next to the scan
+kernel (device path), with an identical float64 NumPy host reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from lte_cell_scanner_tpu.constants import FS_SEARCH
+
+PASSBAND_HZ = 6 * 12 * 15e3 / 2 + 4 * 15e3     # 600 kHz, see rx_cutoff
+STOP_ATTEN_DB = 60.0
+
+
+def _kaiser_beta(atten_db: float) -> float:
+    if atten_db > 50:
+        return 0.1102 * (atten_db - 8.7)
+    if atten_db >= 21:
+        return 0.5842 * (atten_db - 21) ** 0.4 + 0.07886 * (atten_db - 21)
+    return 0.0
+
+
+@functools.lru_cache(maxsize=8)
+def design_decimation_fir(decim: int, atten_db: float = STOP_ATTEN_DB
+                          ) -> np.ndarray:
+    """Anti-alias lowpass for decimation by ``decim`` from
+    decim*1.92 Msps: passband 600 kHz, stopband at the alias edge
+    (1.92 MHz - 600 kHz folds onto the passband edge)."""
+    fs_in = decim * FS_SEARCH
+    f_pass = PASSBAND_HZ
+    f_stop = FS_SEARCH - PASSBAND_HZ       # first alias into the passband
+    df = (f_stop - f_pass) / fs_in
+    beta = _kaiser_beta(atten_db)
+    n_taps = int(np.ceil((atten_db - 7.95) / (2.285 * 2 * np.pi * df)))
+    n_taps = (n_taps // (2 * decim) + 1) * 2 * decim + 1  # odd, phase-align
+    n = np.arange(n_taps) - (n_taps - 1) / 2
+    fc = (f_pass + f_stop) / 2 / fs_in
+    h = 2 * fc * np.sinc(2 * fc * n) * np.kaiser(n_taps, beta)
+    return h / h.sum()
+
+
+def decimate_capture(x: np.ndarray, fs_in: float,
+                     freq_shift: float = 0.0,
+                     backend: str = "numpy") -> np.ndarray:
+    """Shift ``freq_shift`` to baseband and decimate to 1.92 Msps.
+
+    fs_in must be an integer multiple of 1.92 Msps. Returns the
+    1.92 Msps complex capture (length floor(len(x)/decim) minus FIR
+    startup).
+    """
+    decim = fs_in / FS_SEARCH
+    if abs(decim - round(decim)) > 1e-9:
+        raise ValueError(f"fs_in={fs_in} is not a multiple of 1.92 Msps")
+    decim = int(round(decim))
+    x = np.asarray(x, dtype=complex)
+    if freq_shift:
+        t = np.arange(len(x))
+        x = x * np.exp(-2j * np.pi * freq_shift * t / fs_in)
+    if decim == 1:
+        return x
+
+    h = design_decimation_fir(decim)
+    n_taps = len(h)
+    # Strided correlation: y[m] = sum_j h_rev[j] x[m*decim + j] — the
+    # windows stack into an (n_out, n_taps) matrix and the whole
+    # decimation is one matrix-vector product (MXU on device).
+    n_out = (len(x) - n_taps) // decim + 1
+    taps = h[::-1].copy()
+    win = (np.arange(n_out) * decim)[:, None] + np.arange(n_taps)
+
+    if backend == "jax":
+        import jax.numpy as jnp
+
+        widx = jnp.asarray(win)
+        xr = jnp.asarray(x.real.astype(np.float32))[widx]
+        xi = jnp.asarray(x.imag.astype(np.float32))[widx]
+        tf = jnp.asarray(taps.astype(np.float32))
+        return (np.asarray(xr @ tf, np.float64)
+                + 1j * np.asarray(xi @ tf, np.float64))
+
+    return x[win] @ taps

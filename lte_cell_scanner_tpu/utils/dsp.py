@@ -130,9 +130,10 @@ def interpft(x: np.ndarray, n_y: int) -> np.ndarray:
     m = len(x)
     if n_y <= 0:
         raise ValueError("n_y must be positive")
-    # Upsample by an integer factor, then decimate.
-    incr = int(np.floor((m + n_y - 1) / m))  # ceil(n_y / m)
-    n_up = m * incr
+    # Upsample to n_y*incr points (incr chosen so that is >= m), then
+    # decimate by incr — MATLAB's incr = floor(m/n_y) + 1.
+    incr = m // n_y + 1
+    n_up = n_y * incr
     X = np.fft.fft(x)
     nyqst = int(np.ceil((m + 1) / 2))
     Xp = np.concatenate([X[:nyqst], np.zeros(n_up - m, dtype=X.dtype), X[nyqst:]])
