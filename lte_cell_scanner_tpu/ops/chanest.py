@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import functools
+
 import numpy as np
 
 from lte_cell_scanner_tpu.models.cell import Cell
@@ -162,77 +164,100 @@ def _hex_extend(row_x: np.ndarray, row_val: np.ndarray):
     return np.array(row_x), np.array(row_val)
 
 
+def _hex_fill_pair(top_v, bot_v, top_shift, bot_shift, spacing):
+    """Exact scalar triangle-strip fill for ONE pair of adjacent RS rows
+    (rows 1..spacing between them). Extracted from the reference sweep
+    (src/searcher.cpp:1223-1362); used directly and as the probe for the
+    cached linear map below."""
+    top_x, top_v = _hex_extend(
+        np.arange(top_shift, 72, 6, dtype=np.float64), top_v)
+    bot_x, bot_v = _hex_extend(
+        np.arange(bot_shift, 72, 6, dtype=np.float64), bot_v)
+    y_top, y_bot = 0.0, float(spacing)
+    out = np.empty((spacing, 72), dtype=np.asarray(top_v).dtype)
+
+    if top_x[1] < bot_x[1]:
+        tri = [(top_x[0], y_top, top_v[0]), (bot_x[0], y_bot, bot_v[0]),
+               (top_x[1], y_top, top_v[1])]
+        top_used, bot_used = 1, 0
+    else:
+        tri = [(bot_x[0], y_bot, bot_v[0]), (top_x[0], y_top, top_v[0]),
+               (bot_x[1], y_bot, bot_v[1])]
+        top_used, bot_used = 0, 1
+
+    x_offset = np.zeros(spacing + 1, dtype=np.int64)
+    while True:
+        (x0, y0, v0), (x1, y1, v1), (x2, y2, v2) = tri
+        det = (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
+        a = (v0 * (y1 - y2) + v1 * (y2 - y0) + v2 * (y0 - y1)) / det
+        b = (v0 * (x2 - x1) + v1 * (x0 - x2) + v2 * (x1 - x0)) / det
+        c = (v0 * (x1 * y2 - x2 * y1) + v1 * (x2 * y0 - x0 * y2)
+             + v2 * (x0 * y1 - x1 * y0)) / det
+        a_l = (x1 - x2) / (y1 - y2)
+        b_l = (y1 * x2 - y2 * x1) / (y1 - y2)
+
+        for r in range(1, spacing + 1):
+            limit = a_l * r + b_l
+            hi = min(int(np.floor(limit)), 71)
+            lo = x_offset[r]
+            if hi >= lo:
+                xs = np.arange(lo, hi + 1)
+                out[r - 1, lo:hi + 1] = a * xs + b * r + c
+                x_offset[r] = hi + 1
+
+        if x_offset[1] == 72 and x_offset[spacing] == 72:
+            break
+        if tri[2][1] == y_top:
+            bot_used += 1
+            nxt = (bot_x[bot_used], y_bot, bot_v[bot_used])
+        else:
+            top_used += 1
+            nxt = (top_x[top_used], y_top, top_v[top_used])
+        tri = [tri[1], tri[2], nxt]
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _hex_pair_map(top_shift: int, bot_shift: int, spacing: int) -> np.ndarray:
+    """(spacing*72, 24) linear map from the pair's 2x12 raw CE values to
+    the interpolated grid rows. The fill (planes + edge extrapolation) is
+    linear in the values, so probing the exact scalar implementation with
+    the 24 basis vectors captures it exactly."""
+    w = np.empty((spacing * 72, 24))
+    for i in range(24):
+        basis = np.zeros(24)
+        basis[i] = 1.0
+        out = _hex_fill_pair(basis[:12].copy(), basis[12:].copy(),
+                             top_shift, bot_shift, spacing)
+        w[:, i] = out.reshape(-1)
+    return w
+
+
 def ce_interp_hex(ce_filt, shift, n_ofdm, rs_set):
     """Delaunay-triangle planar interpolation over the hex RS lattice.
 
     reference: src/searcher.cpp:1223-1362 (the enabled interpolator,
     mirroring MATLAB griddata in chan_est.m:132). Between each pair of
-    adjacent RS rows, a strip of triangles is swept left to right; grid
-    points take the value of the plane through the triangle containing
-    them.
+    adjacent RS rows a strip of triangles is swept; since the sweep is a
+    fixed LINEAR function of the two rows' values for each lattice
+    geometry, each pair reduces to one cached (spacing*72, 24) matmul.
     """
     rs_set = np.asarray(rs_set)
     n_rs_ofdm = len(rs_set)
     ce_tfg = np.empty((n_ofdm, 72), dtype=np.complex128)
 
     for t in range(n_rs_ofdm - 1):
-        top_x, top_v = _hex_extend(
-            np.arange(shift[1] if (t & 1) else shift[0], 72, 6, dtype=np.float64),
-            ce_filt[t])
-        bot_x, bot_v = _hex_extend(
-            np.arange(shift[0] if (t & 1) else shift[1], 72, 6, dtype=np.float64),
-            ce_filt[t + 1])
-
-        if t == 0:
-            ce_tfg[rs_set[0]] = interp1(top_x, top_v, np.arange(72.0))
-
-        y_top = float(rs_set[t])
-        y_bot = float(rs_set[t + 1])
-        # Triangle vertex queue: (x, y, val) triples, advancing along
-        # whichever row has the nearer next vertex.
-        if top_x[1] < bot_x[1]:
-            tri = [(top_x[0], y_top, top_v[0]), (bot_x[0], y_bot, bot_v[0]),
-                   (top_x[1], y_top, top_v[1])]
-            top_used, bot_used = 1, 0
-        else:
-            tri = [(bot_x[0], y_bot, bot_v[0]), (top_x[0], y_top, top_v[0]),
-                   (bot_x[1], y_bot, bot_v[1])]
-            top_used, bot_used = 0, 1
-
+        top_shift = int(shift[1] if (t & 1) else shift[0])
+        bot_shift = int(shift[0] if (t & 1) else shift[1])
         spacing = int(rs_set[t + 1] - rs_set[t])
-        x_offset = np.zeros(spacing + 1, dtype=np.int64)
-        while True:
-            (x0, y0, v0), (x1, y1, v1), (x2, y2, v2) = tri
-            # Plane through the 3 vertices: val = a*x + b*y + c.
-            det = (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
-            a = (v0 * (y1 - y2) + v1 * (y2 - y0) + v2 * (y0 - y1)) / det
-            b = (v0 * (x2 - x1) + v1 * (x0 - x2) + v2 * (x1 - x0)) / det
-            c = (v0 * (x1 * y2 - x2 * y1) + v1 * (x2 * y0 - x0 * y2)
-                 + v2 * (x0 * y1 - x1 * y0)) / det
-            # Rightmost edge of the triangle: x = a_l*y + b_l.
-            a_l = (x1 - x2) / (y1 - y2)
-            b_l = (y1 * x2 - y2 * x1) / (y1 - y2)
-
-            for r in range(1, spacing + 1):
-                y = rs_set[t] + r
-                limit = a_l * y + b_l
-                while x_offset[r] <= limit:
-                    ce_tfg[y, x_offset[r]] = a * x_offset[r] + b * y + c
-                    x_offset[r] += 1
-                    if x_offset[r] > 71:
-                        break
-
-            if x_offset[1] == 72 and x_offset[spacing] == 72:
-                break
-            # Advance: add the next vertex from whichever row the last
-            # vertex did NOT come from.
-            if tri[2][1] == y_top:
-                bot_used += 1
-                nxt = (bot_x[bot_used], y_bot, bot_v[bot_used])
-            else:
-                top_used += 1
-                nxt = (top_x[top_used], y_top, top_v[top_used])
-            tri = [tri[1], tri[2], nxt]
+        if t == 0:
+            top_x, top_v = _hex_extend(
+                np.arange(top_shift, 72, 6, dtype=np.float64), ce_filt[t])
+            ce_tfg[rs_set[0]] = interp1(top_x, top_v, np.arange(72.0))
+        w = _hex_pair_map(top_shift, bot_shift, spacing)
+        vals = np.concatenate([ce_filt[t], ce_filt[t + 1]])
+        ce_tfg[rs_set[t] + 1: rs_set[t + 1] + 1] = \
+            (w @ vals).reshape(spacing, 72)
 
     # Rows before the first / after the last RS symbol copy the nearest one.
     ce_tfg[:rs_set[0]] = ce_tfg[rs_set[0]]
