@@ -46,7 +46,7 @@ def main():
     from lte_cell_scanner_tpu.ops.peak_jax import (peaks_to_cells,
                                                    r_th1_normalized,
                                                    scan_and_peaks_pallas)
-    from lte_cell_scanner_tpu.ops.xcorr_pallas import scan_plan
+    from lte_cell_scanner_tpu.ops.xcorr_pallas import pad_capture, scan_plan
 
     cap, fc = _get_capture()
     fset = np.arange(-15, 16) * 5e3  # ppm=100 at 739 MHz -> 31 hypotheses
@@ -54,7 +54,7 @@ def main():
     n_cap = len(cap)
     n_comb_sp = (n_cap - 136 - 137) // 9600
 
-    bank, bases, offs, halo, n_tile, n_comb_xc = scan_plan(
+    bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
         n_cap, fset, fc, fc, 1.92e6)
     bank_j = jnp.asarray(bank)
     bases_j = jnp.asarray(bases)
@@ -63,7 +63,9 @@ def main():
 
     # Raw radio bytes: (B, 2, n_cap) uint8, converted on device.
     cap2 = np.stack([cap.real, cap.imag]).astype(np.float32)
-    u8_one = np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255).astype(np.uint8)
+    u8_one = pad_capture(
+        np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255).astype(np.uint8),
+        pad_len)
     u8 = np.stack([u8_one] * B)
 
     interpret = jax.default_backend() == "cpu"  # no-TPU fallback

@@ -32,6 +32,16 @@ import os as _os
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/lte_scanner_tpu_jax"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import sys as _sys
+
+if "jax" in _sys.modules:
+    # jax read its env at import time; apply the cache config directly.
+    import jax as _jax
+
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ["JAX_COMPILATION_CACHE_DIR"])
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from lte_cell_scanner_tpu.constants import FS_LTE, CAPLENGTH  # noqa: F401
 from lte_cell_scanner_tpu.models.cell import Cell  # noqa: F401

@@ -79,21 +79,39 @@ def decimate_capture(x: np.ndarray, fs_in: float,
 
     h = design_decimation_fir(decim)
     n_taps = len(h)
-    # Strided correlation: y[m] = sum_j h_rev[j] x[m*decim + j] — the
-    # windows stack into an (n_out, n_taps) matrix and the whole
-    # decimation is one matrix-vector product (MXU on device).
+    # Polyphase: y[m] = sum_j h_rev[j] x[m*decim + j]
+    #          = sum_q X[m + q] . taps_q
+    # with X the (n_blocks, decim) reshape of x and taps_q the q-th
+    # decim-wide slice of the reversed taps — `phases` matmuls of
+    # (n_out, decim) blocks, O(n_out) memory (not the O(n_out * n_taps)
+    # im2col form).
     n_out = (len(x) - n_taps) // decim + 1
     taps = h[::-1].copy()
-    win = (np.arange(n_out) * decim)[:, None] + np.arange(n_taps)
+    phases = -(-n_taps // decim)
+    taps = np.pad(taps, (0, phases * decim - n_taps))
+    n_blocks = len(x) // decim
+    xb = x[:n_blocks * decim].reshape(n_blocks, decim)
 
     if backend == "jax":
+        import jax
         import jax.numpy as jnp
 
-        widx = jnp.asarray(win)
-        xr = jnp.asarray(x.real.astype(np.float32))[widx]
-        xi = jnp.asarray(x.imag.astype(np.float32))[widx]
-        tf = jnp.asarray(taps.astype(np.float32))
-        return (np.asarray(xr @ tf, np.float64)
-                + 1j * np.asarray(xi @ tf, np.float64))
+        @jax.jit
+        def run(xr, xi, tp):
+            yr = jnp.zeros(n_out, jnp.float32)
+            yi = jnp.zeros(n_out, jnp.float32)
+            for q in range(phases):
+                yr = yr + xr[q:q + n_out] @ tp[q]
+                yi = yi + xi[q:q + n_out] @ tp[q]
+            return yr, yi
 
-    return x[win] @ taps
+        yr, yi = run(jnp.asarray(xb.real, jnp.float32),
+                     jnp.asarray(xb.imag, jnp.float32),
+                     jnp.asarray(taps.reshape(phases, decim), jnp.float32))
+        return np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+
+    y = np.zeros(n_out, dtype=complex)
+    tp = taps.reshape(phases, decim)
+    for q in range(phases):
+        y += xb[q:q + n_out] @ tp[q]
+    return y

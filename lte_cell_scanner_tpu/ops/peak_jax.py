@@ -27,7 +27,7 @@ import numpy as np
 from lte_cell_scanner_tpu.constants import HALF_FRAME, RX_CUTOFF
 from lte_cell_scanner_tpu.models.cell import Cell
 
-MAX_PEAKS = 32
+MAX_PEAKS = 64  # >= the ~52 the cancellation geometry can possibly yield
 _DB8 = 10.0 ** (-8.0 / 10.0)
 _DB12 = 10.0 ** (-12.0 / 10.0)
 

@@ -184,12 +184,14 @@ def xcorr_pss_jax(capbuf, f_search_set, ds_comb_arm, fc_requested,
     n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME
 
     if use_pallas:
-        from lte_cell_scanner_tpu.ops.xcorr_pallas import (scan_plan,
+        from lte_cell_scanner_tpu.ops.xcorr_pallas import (pad_capture,
+                                                           scan_plan,
                                                            xcorr_core_pallas)
 
-        bank, bases, offs, halo, n_tile, _ = scan_plan(
+        bank, bases, offs, halo, n_tile, _, pad_len = scan_plan(
             n_cap, f_search_set, fc_requested, fc_programmed, fs_programmed)
-        cap2 = np.stack([capbuf.real, capbuf.imag]).astype(np.float32)
+        cap2 = pad_capture(
+            np.stack([capbuf.real, capbuf.imag]).astype(np.float32), pad_len)
         packed, single, inc = xcorr_core_pallas(
             jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
             jnp.asarray(offs), n_comb_xc, n_comb_sp, ds_comb_arm,

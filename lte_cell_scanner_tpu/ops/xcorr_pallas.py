@@ -102,17 +102,25 @@ def plan_tiles(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE,
     # each window base down to 128 and widen the halo so the residual
     # (absorbed into the per-hypothesis offsets) stays in range; round the
     # halo so the working width w stays lane-aligned too.
-    halo = -(-(halo + 64) // 64) * 64
-    w = tile + 2 * halo
+    # The offset of a hypothesis inside its window is (nominal halo) +
+    # (fold misalignment d, <= halo by construction) + (the down-alignment
+    # residual, <= 127), and must fit in 2*halo: so the halo must absorb
+    # d_max + 127, rounded so the working width stays lane-aligned.
+    halo = -(-(halo + 128) // 64) * 64
     assert HALF_FRAME % tile == 0
     n_tile = HALF_FRAME // tile
 
     m_idx = np.arange(n_fold)[:, None]
     t_idx = np.arange(n_tile)[None, :]
+    w = tile + 2 * halo
     bases = m_idx * HALF_FRAME + t_idx * tile - halo          # (n_fold, n_tile)
-    bases = np.clip(bases, 0, n_cap - (PSS_TD_LEN - 1) - w)
+    # No upper clip: instead the capture is zero-padded to pad_len so the
+    # final windows' halos read zeros (the fold only consumes offsets that
+    # point at real samples, so the padding never reaches a result).
+    bases = np.maximum(bases, 0)
     bases = (bases // 128) * 128
-    # offs[f, m, t]: start of hypothesis f's tile inside the halo'd window.
+    pad_len = int(bases.max()) + w + PSS_TD_LEN - 1
+    # offs[f, m, t]: hypothesis f's tile start inside the window.
     offs = (starts[:, :, None] + t_idx[None] * tile - bases[None])
     assert (offs >= 0).all() and (offs + tile <= w).all(), \
         "fold misalignment exceeds the planned halo"
@@ -120,7 +128,7 @@ def plan_tiles(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE,
     bases = np.ascontiguousarray(bases.T).reshape(-1).astype(np.int32)
     offs = np.ascontiguousarray(np.transpose(offs, (0, 2, 1))).reshape(
         n_f, -1).astype(np.int32)
-    return bases, offs, halo, n_tile
+    return bases, offs, halo, n_tile, max(pad_len, n_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("n_comb_xc", "tile", "halo",
@@ -198,6 +206,18 @@ def xcorr_core_pallas(cap2, bank, bases, offs, n_comb_xc, n_comb_sp,
     return packed, single, inc
 
 
+def pad_capture(cap2: np.ndarray, pad_len: int) -> np.ndarray:
+    """Zero-pad the capture's sample axis (last) to plan_tiles'
+    pad_len so the final correlation windows stay in bounds (uint8
+    captures pad with the zero-level byte 127)."""
+    n = cap2.shape[-1]
+    if n >= pad_len:
+        return cap2
+    widths = [(0, 0)] * (cap2.ndim - 1) + [(0, pad_len - n)]
+    fill = 127 if cap2.dtype == np.uint8 else 0
+    return np.pad(cap2, widths, constant_values=fill)
+
+
 def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
               fs_programmed, tile=DEFAULT_TILE):
     """Precompute the host-side arrays the Pallas scan needs (template
@@ -214,8 +234,9 @@ def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
                      [tpl.imag, tpl.real]]).astype(np.float32)
     starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
                                 fc_programmed, fs_programmed)
-    bases, offs, halo, n_tile = plan_tiles(capbuf_len, starts, tile=tile)
-    return bank, bases, offs, halo, n_tile, n_comb_xc
+    bases, offs, halo, n_tile, pad_len = plan_tiles(capbuf_len, starts,
+                                                    tile=tile)
+    return bank, bases, offs, halo, n_tile, n_comb_xc, pad_len
 
 
 def xcorr_single_pallas(capbuf, f_search_set, fc_requested, fc_programmed,
@@ -225,23 +246,12 @@ def xcorr_single_pallas(capbuf, f_search_set, fc_requested, fc_programmed,
     Returns (single, n_comb_xc) with single as float32 numpy-compatible
     (3, HALF_FRAME, n_f).
     """
-    from lte_cell_scanner_tpu.ops.xcorr import (fold_start_indices,
-                                                shifted_templates)
-
     capbuf = np.asarray(capbuf)
-    n_cap = capbuf.shape[0]
-    n_lags = n_cap - (PSS_TD_LEN - 1)
-    n_comb_xc = (n_lags - 100) // HALF_FRAME
-    f_search_set = np.asarray(f_search_set, dtype=np.float64)
-
-    tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,
-                            fs_programmed).reshape(-1, PSS_TD_LEN)
-    bank = np.block([[tpl.real, -tpl.imag],
-                     [tpl.imag, tpl.real]]).astype(np.float32)
-    starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
-                                fc_programmed, fs_programmed)
-    bases, offs, halo, n_tile = plan_tiles(n_cap, starts, tile=tile)
-    cap2 = np.stack([capbuf.real, capbuf.imag]).astype(np.float32)
+    bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
+        capbuf.shape[0], f_search_set, fc_requested, fc_programmed,
+        fs_programmed, tile=tile)
+    cap2 = pad_capture(
+        np.stack([capbuf.real, capbuf.imag]).astype(np.float32), pad_len)
     single = xcorr_fold_pallas(jnp.asarray(cap2), jnp.asarray(bank),
                                jnp.asarray(bases), jnp.asarray(offs),
                                n_comb_xc, tile=tile, halo=halo,

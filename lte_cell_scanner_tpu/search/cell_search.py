@@ -89,15 +89,17 @@ def cell_search(
 
             from lte_cell_scanner_tpu.ops.peak_jax import (
                 peaks_to_cells, r_th1_normalized, scan_and_peaks_pallas)
-            from lte_cell_scanner_tpu.ops.xcorr_pallas import scan_plan
+            from lte_cell_scanner_tpu.ops.xcorr_pallas import (pad_capture,
+                                                               scan_plan)
 
-            bank, bases, offs, halo, n_tile, n_comb_xc = scan_plan(
+            bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
                 len(capbuf), f_search_set, fc_requested, fc_programmed,
                 fs_programmed)
             n_comb_sp = (len(capbuf) - 136 - 137) // 9600
             r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm,
                                       THRESH1_N_NINES)
-            cap2 = np.stack([capbuf.real, capbuf.imag]).astype(np.float32)
+            cap2 = pad_capture(np.stack(
+                [capbuf.real, capbuf.imag]).astype(np.float32), pad_len)
             table = scan_and_peaks_pallas(
                 jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
                 jnp.asarray(offs), r_norm, n_comb_xc, n_comb_sp,
@@ -105,6 +107,10 @@ def cell_search(
             peaks = peaks_to_cells(np.asarray(table), f_search_set,
                                    fc_requested, fc_programmed,
                                    fs_programmed)
+            if len(peaks) >= table.shape[0]:
+                # Table full: the device loop may have truncated a denser
+                # capture; redo this capture with the unbounded host scan.
+                peaks = None
     if peaks is None:
         r = xcorr_pss(capbuf, f_search_set, ds_comb_arm, fc_requested,
                       fc_programmed, fs_programmed, backend=backend)

@@ -199,18 +199,18 @@ class BatchTrackerEngine:
         return seg
 
     # ------------------------------------------------------------------
-    def _tables(self, work):
-        """Device-resident per-cell ROM tables, rebuilt when the tracked
-        cell set changes."""
+    def _tables(self, work, c_pad):
+        """Device-resident per-cell ROM tables (cell axis padded to the
+        bucketed count so cell churn does not recompile), rebuilt when the
+        tracked cell set changes."""
         key = tuple(_key(c) for c, _ in work)
         P = max(c.n_ports for c, _ in work)
-        if self._dev_key == (key, P):
+        if self._dev_key == (key, P, c_pad):
             return self._dev_tables
-        C = len(work)
-        rs_conj_tab = np.zeros((C, 20, 7, 12, 2), np.float32)
-        shift_tab = np.zeros((C, 20, 7, P), np.int32)
-        pss_conj = np.zeros((C, 62, 2), np.float32)
-        sss_tab = np.zeros((C, 2, 62), np.float32)
+        rs_conj_tab = np.zeros((c_pad, 20, 7, 12, 2), np.float32)
+        shift_tab = np.zeros((c_pad, 20, 7, P), np.int32)
+        pss_conj = np.zeros((c_pad, 62, 2), np.float32)
+        sss_tab = np.zeros((c_pad, 2, 62), np.float32)
         for ci, (cell, _) in enumerate(work):
             ctx = self.ctx[_key(cell)]
             rs_conj_tab[ci] = bf.to_ri(np.conj(ctx.rs_tab))
@@ -221,7 +221,7 @@ class BatchTrackerEngine:
             sss_tab[ci, 1] = ctx.sss10
         self._dev_tables = tuple(jnp.asarray(x) for x in (
             rs_conj_tab, shift_tab, pss_conj, sss_tab))
-        self._dev_key = (key, P)
+        self._dev_key = (key, P, c_pad)
         return self._dev_tables
 
     # ------------------------------------------------------------------
@@ -248,6 +248,13 @@ class BatchTrackerEngine:
             cyc = self._dispatch_demod(work)
             self._host_route(work, cyc)
             self._dispatch_stats(work, cyc)
+        else:
+            # Nothing consumes the sample ring (searcher still hunting or
+            # all cells dropped): prune it so it cannot grow unboundedly.
+            keep_from = self._stream_end - 2 * 1920 * 1000  # ~2 s
+            while (len(self._blocks) > 1 and self._blocks[0][0]
+                   + len(self._blocks[0][1]) < keep_from):
+                self._blocks.popleft()
         self._finalize(cells)
 
     # ------------------------------------------------------------------
@@ -259,20 +266,21 @@ class BatchTrackerEngine:
         grid and the raw CE rows stay on device."""
         state = self.state
         C = len(work)
+        Cb = _bucket(C, lo=2)   # padded cell axis: churn != recompile
         S = _bucket(max(len(p) for _, p in work))
         P = max(c.n_ports for c, _ in work)
-        cyc = {"cells": [], "C": C, "P": P}
+        cyc = {"cells": [], "C": C, "Cb": Cb, "P": P}
 
         stream_mode = work[0][1][0].start is not None
         if stream_mode:
-            starts = np.zeros((C, S), np.int64)
+            starts = np.zeros((Cb, S), np.int64)
         else:
-            data = np.zeros((C, S, 128, 2), np.uint8)
-        foc_rate = np.zeros((C, S), np.float32)
-        late = np.zeros((C, S), np.float32)
-        fo = np.zeros((C, S), np.float64)
-        n_samp = np.full((C, S), 128.0 + 9.0)
-        bpo0 = np.zeros(C, np.float64)
+            data = np.zeros((Cb, S, 128, 2), np.uint8)
+        foc_rate = np.zeros((Cb, S), np.float32)
+        late = np.zeros((Cb, S), np.float32)
+        fo = np.zeros((Cb, S), np.float64)
+        n_samp = np.full((Cb, S), 128.0 + 9.0)
+        bpo0 = np.zeros(Cb, np.float64)
 
         for ci, (cell, pdus) in enumerate(work):
             ctx = self.ctx[_key(cell)]
@@ -323,12 +331,12 @@ class BatchTrackerEngine:
                         default=1), lo=2)
         K = _bucket(max((len(i["pairs"]) for i in cyc["cells"]),
                         default=1), lo=2)
-        keep_idx = np.zeros((C, Q), np.int32)
-        rs_idx = np.zeros((C, R), np.int32)
-        rs_slot = np.zeros((C, R), np.int32)
-        rs_sym = np.zeros((C, R), np.int32)
-        pair_idx = np.zeros((C, K, 2), np.int32)
-        pair_sel = np.zeros((C, K), np.int32)
+        keep_idx = np.zeros((Cb, Q), np.int32)
+        rs_idx = np.zeros((Cb, R), np.int32)
+        rs_slot = np.zeros((Cb, R), np.int32)
+        rs_sym = np.zeros((Cb, R), np.int32)
+        pair_idx = np.zeros((Cb, K, 2), np.int32)
+        pair_sel = np.zeros((Cb, K), np.int32)
         for ci, info in enumerate(cyc["cells"]):
             keep_idx[ci, :len(info["keep"])] = info["keep"]
             sel = info["rs_sel"]
@@ -343,7 +351,7 @@ class BatchTrackerEngine:
         for ci, (cell, pdus) in enumerate(work):
             self.ctx[_key(cell)].bpo = float(bpo[ci, len(pdus) - 1])
 
-        rs_conj_tab, shift_tab, pss_conj, sss_tab = self._tables(work)
+        rs_conj_tab, shift_tab, pss_conj, sss_tab = self._tables(work, Cb)
         common = (jnp.asarray(foc_rate), jnp.asarray(bpo.astype(np.float32)),
                   jnp.asarray(late), rs_conj_tab, shift_tab,
                   jnp.asarray(rs_idx), jnp.asarray(rs_slot),
@@ -366,7 +374,8 @@ class BatchTrackerEngine:
         else:
             flat, ce_dev = _demod_jit(jnp.asarray(data), *common)
         kept, s_tp, s_sp, s_np, s_npb, s_ce = _unpack(flat, [
-            (C, Q, 72, 2), (C, K), (C, K), (C, K), (C, K), (C, 62, 2)])
+            (Cb, Q, 72, 2), (Cb, K), (Cb, K), (Cb, K), (Cb, K),
+            (Cb, 62, 2)])
         cyc.update(kept=kept, sync=(s_tp, s_sp, s_np, s_npb, s_ce),
                    ce_dev=ce_dev, R=R)
         return cyc
@@ -422,7 +431,7 @@ class BatchTrackerEngine:
         """Dispatch 2: every complete RS triple gathered on device from
         dispatch 1's CE rows + the uploaded 2-row carry; vectorized
         feedback blends in host order."""
-        C, P, R = cyc["C"], cyc["P"], cyc["R"]
+        C, P, R = cyc["Cb"], cyc["P"], cyc["R"]
         carry_vals = np.zeros((C, P, 2, 12, 2), np.float32)
         carry_idx = np.zeros((C, P, 2), np.int32)
         segments = []   # (ctx, ci, port, meta_full, t0, t1)

@@ -47,9 +47,11 @@ def test_pallas_core_packed_and_uint8():
     fset = np.arange(-1, 2) * 5e3
     n_cap = len(cap)
     n_comb_sp = (n_cap - 136 - 137) // 9600
-    bank, bases, offs, halo, n_tile, n_comb_xc = scan_plan(
+    bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
         n_cap, fset, 739e6, 739e6, 1.92e6)
-    cap2 = np.stack([cap.real, cap.imag]).astype(np.float32)
+    from lte_cell_scanner_tpu.ops.xcorr_pallas import pad_capture
+    cap2 = pad_capture(
+        np.stack([cap.real, cap.imag]).astype(np.float32), pad_len)
     packed, single, inc = xcorr_core_pallas(
         jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
         jnp.asarray(offs), n_comb_xc, n_comb_sp, 2, halo=halo,
@@ -65,7 +67,10 @@ def test_pallas_core_packed_and_uint8():
 
     # uint8 radio-byte ingestion: quantize to rtl_sdr format, expect the
     # same peak structure (planted PSS still detected at the right lag).
-    u8 = np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255).astype(np.uint8)
+    u8 = np.where(
+        np.arange(cap2.shape[-1]) < n_cap,
+        np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255), 127
+    ).astype(np.uint8)
     packed_u, _, _ = xcorr_core_pallas(
         jnp.asarray(u8), jnp.asarray(bank), jnp.asarray(bases),
         jnp.asarray(offs), n_comb_xc, n_comb_sp, 2, halo=halo,
