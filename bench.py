@@ -87,7 +87,7 @@ def main():
 
     tables = scan_batch()  # compile
     times = []
-    for _ in range(5):
+    for _ in range(10):
         t0 = time.time()
         tables = scan_batch()
         times.append(time.time() - t0)
