@@ -46,6 +46,9 @@ def build_parser():
     p.add_argument("--engine-every", type=int, default=1,
                    help="batched-engine dispatch cadence in 10k-sample "
                         "blocks")
+    p.add_argument("--feeder", choices=("python", "native"),
+                   default="python",
+                   help="sample-feeder implementation (native = C++)")
     p.add_argument("--display", action="store_true",
                    help="interactive curses UI (j/k select, h/l views, "
                         "? help)")
@@ -84,7 +87,7 @@ def main(argv=None) -> int:
 
     trk = LTETracker(args.freq_center, backend=args.backend,
                      batch=args.batch, engine_every=args.engine_every,
-                     on_event=on_event)
+                     feeder=args.feeder, on_event=on_event)
     try:
         trk.kalibrate(playback_source(sig, repeat=args.repeat,
                                       noise_power=args.noise_power),

@@ -57,6 +57,8 @@ def _load():
     lib.feeder_pdu_count.argtypes = [ctypes.c_void_p]
     lib.feeder_get_pdus.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                     ctypes.c_void_p, ctypes.c_void_p]
+    lib.feeder_set_descriptor_mode.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.feeder_get_pdu_starts.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
@@ -64,7 +66,8 @@ class NativeSampleFeeder:
     """Same interface as tracker.producer.SampleFeeder, but the per-sample
     state machine runs in C++ and consumes raw uint8 bytes directly."""
 
-    def __init__(self, state: GlobalState, searcher_capbuf_len: int = FRAME * 8):
+    def __init__(self, state: GlobalState, searcher_capbuf_len: int = FRAME * 8,
+                 emit_descriptors: bool = False):
         self._lib = _load()
         self.state = state
         self.searcher_capbuf_len = int(searcher_capbuf_len)
@@ -72,6 +75,18 @@ class NativeSampleFeeder:
         self._known: Dict[int, int] = {}
         self.searcher_ready: Optional[np.ndarray] = None
         self.searcher_late = 0.0
+        self._descriptors = bool(emit_descriptors)
+        self._lib.feeder_set_descriptor_mode(self._h,
+                                             1 if emit_descriptors else 0)
+
+    @property
+    def emit_descriptors(self) -> bool:
+        return self._descriptors
+
+    @emit_descriptors.setter
+    def emit_descriptors(self, on: bool) -> None:
+        self._descriptors = bool(on)
+        self._lib.feeder_set_descriptor_mode(self._h, 1 if on else 0)
 
     def __del__(self):
         try:
@@ -123,16 +138,22 @@ class NativeSampleFeeder:
             data = np.empty((n, 128, 2), dtype=np.float32)
             self._lib.feeder_get_pdus(self._h, meta.ctypes.data,
                                       vals.ctypes.data, data.ctypes.data)
+            starts = None
+            if self._descriptors:
+                starts = np.empty(n, dtype=np.int64)
+                self._lib.feeder_get_pdu_starts(self._h, starts.ctypes.data)
             by_id = {c.n_id_cell: c for c in cells}
             for i in range(n):
                 cell = by_id.get(int(meta[i, 0]))
                 if cell is None:
                     continue
                 cell.push_pdu(SymbolPDU(
-                    data=(data[i, :, 0] + 1j * data[i, :, 1]).astype(complex),
+                    data=(None if self._descriptors else
+                          (data[i, :, 0] + 1j * data[i, :, 1]).astype(complex)),
                     slot_num=int(meta[i, 1]), sym_num=int(meta[i, 2]),
                     late=float(vals[i, 0]), frequency_offset=float(vals[i, 1]),
-                    frame_timing=float(vals[i, 2])))
+                    frame_timing=float(vals[i, 2]),
+                    start=(int(starts[i]) if self._descriptors else None)))
 
         if self._lib.feeder_searcher_ready(self._h):
             out = np.empty(self.searcher_capbuf_len * 2, dtype=np.float32)

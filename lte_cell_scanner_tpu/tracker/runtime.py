@@ -69,7 +69,7 @@ class LTETracker:
     def __init__(self, fc_requested: float, fc_programmed: Optional[float] = None,
                  fs_programmed: float = 1.92e6, initial_freq_offset: float = 0.0,
                  backend: str = "numpy", batch: bool = False,
-                 engine_every: int = 1,
+                 engine_every: int = 1, feeder: str = "python",
                  on_event: Optional[Callable[[str, dict], None]] = None,
                  drop_threshold: Optional[float] = None):
         self.state = GlobalState(
@@ -77,7 +77,13 @@ class LTETracker:
             fc_programmed=fc_programmed if fc_programmed else fc_requested,
             fs_programmed=fs_programmed,
             frequency_offset=initial_freq_offset)
-        self.feeder = SampleFeeder(self.state)
+        if feeder == "native":
+            from lte_cell_scanner_tpu.tracker.native_feeder import (
+                NativeSampleFeeder)
+
+            self.feeder = NativeSampleFeeder(self.state)
+        else:
+            self.feeder = SampleFeeder(self.state)
         self.cells: List[TrackedCell] = []
         self.trackers: Dict[int, CellTracker] = {}
         self.serial_num: Dict[int, int] = {}
@@ -148,7 +154,13 @@ class LTETracker:
                 self.trackers.pop(cell.n_id_cell, None)
                 self.on_event("cell_dropped", {"n_id_cell": cell.n_id_cell})
 
-        self.feeder.feed(samples, self.cells)
+        if hasattr(self.feeder, "feed_bytes"):
+            # Native feeder consumes the raw bytes directly.
+            self.feeder.feed_bytes(np.ascontiguousarray(raw_block,
+                                                        dtype=np.uint8),
+                                   self.cells)
+        else:
+            self.feeder.feed(samples, self.cells)
 
         if self.engine is not None:
             if self.n_blocks % self.engine_every == 0:

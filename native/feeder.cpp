@@ -26,6 +26,7 @@ constexpr int kSymLen = 128;
 
 struct CellCapture {
   int n_id_cell = -1;
+  int64_t abs_start = 0;
   int serial_num = 0;
   int n_symb_dl = 7;  // 7 normal CP, 6 extended
   int slot_num = 0;
@@ -47,12 +48,16 @@ struct Pdu {
   double late;
   double frequency_offset;
   double frame_timing;
+  int64_t start;  // absolute stream index (descriptor mode)
   float data[2 * kSymLen];
 };
 
 struct Feeder {
   double sample_time = -1.0;
   double step = 1.0;
+  bool emit_descriptors = false;  // batch engine: PDUs carry stream
+                                  // indices instead of sample copies
+  int64_t abs_sample = 0;
 
   // Searcher capture
   bool searcher_request = false;
@@ -85,6 +90,10 @@ Feeder* feeder_create(long searcher_capbuf_len) {
 void feeder_destroy(Feeder* f) { delete f; }
 
 void feeder_set_step(Feeder* f, double step) { f->step = step; }
+
+void feeder_set_descriptor_mode(Feeder* f, int on) {
+  f->emit_descriptors = on != 0;
+}
 
 double feeder_sample_time(const Feeder* f) { return f->sample_time; }
 
@@ -187,11 +196,14 @@ void feeder_feed(Feeder* f, const uint8_t* bytes, long n_samples,
           c.buffer_offset = 0;
           c.frequency_offset = frequency_offset;
           c.frame_timing_at_start = c.frame_timing;
+          c.abs_start = f->abs_sample + t;
         }
       }
       if (c.filling) {
-        c.buffer[2 * c.buffer_offset] = re;
-        c.buffer[2 * c.buffer_offset + 1] = im;
+        if (!f->emit_descriptors) {
+          c.buffer[2 * c.buffer_offset] = re;
+          c.buffer[2 * c.buffer_offset + 1] = im;
+        }
         if (++c.buffer_offset == kSymLen) {
           Pdu p;
           p.n_id_cell = c.n_id_cell;
@@ -200,7 +212,9 @@ void feeder_feed(Feeder* f, const uint8_t* bytes, long n_samples,
           p.late = c.late;
           p.frequency_offset = c.frequency_offset;
           p.frame_timing = c.frame_timing_at_start;
-          std::memcpy(p.data, c.buffer, sizeof(p.data));
+          p.start = c.abs_start;
+          if (!f->emit_descriptors)
+            std::memcpy(p.data, c.buffer, sizeof(p.data));
           f->pdus.push_back(p);
 
           c.filling = false;
@@ -216,6 +230,7 @@ void feeder_feed(Feeder* f, const uint8_t* bytes, long n_samples,
       }
     }
   }
+  f->abs_sample += n_samples;
 }
 
 long feeder_pdu_count(const Feeder* f) {
@@ -238,6 +253,11 @@ void feeder_get_pdus(const Feeder* f, int32_t* meta, double* vals,
     vals[3 * i + 2] = p.frame_timing;
     std::memcpy(data + i * 2 * kSymLen, p.data, sizeof(p.data));
   }
+}
+
+// Descriptor mode: fetch the absolute stream index of each PDU's window.
+void feeder_get_pdu_starts(const Feeder* f, int64_t* starts) {
+  for (size_t i = 0; i < f->pdus.size(); ++i) starts[i] = f->pdus[i].start;
 }
 
 }  // extern "C"

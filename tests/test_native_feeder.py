@@ -83,3 +83,49 @@ def test_native_tracker_end_to_end():
     # The playback loop seam (sfn jumps back every 0.3 s) can fail one MIB
     # period; health must stay essentially full.
     assert st["cells"][0]["health"] > 0.95
+
+
+def test_native_descriptor_mode_matches_python():
+    """Descriptor-mode PDUs (stream indices, no sample copies) agree
+    field-for-field between the C++ and Python feeders."""
+    from lte_cell_scanner_tpu.io.raw import bytes_to_iq
+    from lte_cell_scanner_tpu.tracker.native_feeder import NativeSampleFeeder
+
+    rng = np.random.default_rng(3)
+    sig = (rng.standard_normal(150000)
+           + 1j * rng.standard_normal(150000)) * 0.2
+    raw = iq_to_bytes(sig)
+    sig_q = bytes_to_iq(raw)
+
+    st_py, st_na = _mk_state(), _mk_state()
+    py = SampleFeeder(st_py, searcher_capbuf_len=19200 * 2,
+                      emit_descriptors=True)
+    na = NativeSampleFeeder(st_na, searcher_capbuf_len=19200 * 2,
+                            emit_descriptors=True)
+    cell_py, cell_na = _mk_cell(), _mk_cell()
+    for k in range(0, len(sig_q), 10000):
+        py.feed(sig_q[k:k + 10000], [cell_py])
+        na.feed_bytes(raw[2 * k:2 * (k + 10000)], [cell_na])
+    assert len(cell_py.fifo) == len(cell_na.fifo) > 50
+    for a, b in zip(cell_py.fifo, cell_na.fifo):
+        assert a.data is None and b.data is None
+        assert (a.start, a.slot_num, a.sym_num) == (b.start, b.slot_num,
+                                                    b.sym_num)
+        assert abs(a.late - b.late) < 1e-6
+
+
+def test_batch_tracker_with_native_feeder():
+    """Full batched tracker with the C++ feeder front end."""
+    from lte_cell_scanner_tpu.io.simulator import synthetic_capture
+    from lte_cell_scanner_tpu.tracker import LTETracker
+    from lte_cell_scanner_tpu.tracker.runtime import playback_source
+
+    sig = synthetic_capture(n_id_1=90, n_id_2=1, snr_db=15,
+                            freq_offset=4e3, n_subframes=400, seed=5)
+    trk = LTETracker(739e6, initial_freq_offset=4000.0, batch=True,
+                     feeder="native")
+    trk.run(playback_source(sig), max_blocks=350)
+    st = trk.status()
+    assert st["cells"] and st["cells"][0]["n_id_cell"] == 271
+    assert st["cells"][0]["mib_successes"] > 5
+    assert st["cells"][0]["health"] == 1.0
