@@ -79,7 +79,13 @@ def capbuf_path(data_dir: str, capture_number: int) -> str:
 def load_capbuf(data_dir: str, capture_number: int,
                 fc_requested: Optional[float] = None
                 ) -> Tuple[np.ndarray, float]:
-    """Replay a recorded capture; returns (capbuf, fc from the file)."""
+    """Replay a recorded capture; returns (capbuf, fc_programmed).
+
+    Our recordings carry the programmed (tuner-quantized) frequency in an
+    extra "fc_programmed" field so replays reproduce the live run's
+    k_factor arithmetic exactly; reference recordings only have "fc"
+    (= fc_requested), which is then the best available value.
+    """
     d = load_it(capbuf_path(data_dir, capture_number))
     fc_file = float(d["fc"][0])
     if fc_requested is not None and fc_requested != fc_file:
@@ -88,16 +94,25 @@ def load_capbuf(data_dir: str, capture_number: int,
         warnings.warn(
             f"capture {capture_number}: file fc {fc_file/1e6:.4g} MHz does "
             f"not match requested {fc_requested/1e6:.4g} MHz")
-    return d["capbuf"], fc_file
+    fc_programmed = float(d["fc_programmed"][0]) if "fc_programmed" in d \
+        else fc_file
+    return d["capbuf"], fc_programmed
 
 
 def save_capbuf(data_dir: str, capture_number: int, capbuf: np.ndarray,
-                fc_requested: float) -> str:
+                fc_requested: float,
+                fc_programmed: Optional[float] = None) -> str:
+    """Record a capture. fc is stored as float64 (int32, as the reference
+    stores it, overflows above 2.147 GHz — LTE bands 7/38/41/42)."""
     path = capbuf_path(data_dir, capture_number)
-    save_it(path, {
+    fields = {
         "capbuf": np.asarray(capbuf, dtype=np.complex128),
-        "fc": np.array([int(fc_requested)], dtype=np.int32),
-    })
+        "fc": np.array([float(fc_requested)], dtype=np.float64),
+    }
+    if fc_programmed is not None:
+        fields["fc_programmed"] = np.array([float(fc_programmed)],
+                                           dtype=np.float64)
+    save_it(path, fields)
     return path
 
 
@@ -160,6 +175,6 @@ class CaptureSource:
 
         if self.record and self.backend != "file":
             save_capbuf(self.data_dir, self.capture_number, capbuf,
-                        fc_requested)
+                        fc_requested, fc_programmed=fc_programmed)
         self.capture_number += 1
         return capbuf, fc_programmed

@@ -121,6 +121,11 @@ def save_it(path: str, records: Dict[str, np.ndarray]) -> None:
         elif np.issubdtype(arr.dtype, np.floating):
             arr = arr.astype(np.float64)
         elif np.issubdtype(arr.dtype, np.integer) and arr.dtype != np.uint8:
+            if arr.size and (arr.min() < np.iinfo(np.int32).min
+                             or arr.max() > np.iinfo(np.int32).max):
+                raise ValueError(
+                    f"{name}: values exceed the .it ivec int32 range; "
+                    "store as float64 instead")
             arr = arr.astype(np.int32)
         is_mat = arr.ndim == 2
         if arr.ndim > 2:
@@ -130,7 +135,6 @@ def save_it(path: str, records: Dict[str, np.ndarray]) -> None:
             payload = struct.pack("<QQ", arr.shape[0], arr.shape[1]) + arr.T.tobytes()
         else:
             payload = struct.pack("<Q", arr.shape[0]) + arr.tobytes()
-        header = struct.pack("<QQQ", 0, 0, 0)  # placeholder
         tail = name.encode("ascii") + b"\0" + typ.encode("ascii") + b"\0" + b"\0"
         hdr_bytes = 24 + len(tail)
         data_bytes = len(payload)

@@ -96,8 +96,13 @@ def _getce_sss(cell: Cell, capbuf: np.ndarray, fc_requested: float,
         peak_loc += HALF_FRAME * k_factor
     pss_loc_set = matlab_range(peak_loc, k_factor * HALF_FRAME,
                                len(capbuf) - 125 - 9)
-    n_pss = len(pss_loc_set)
     pss_dft_locs = np.round(pss_loc_set).astype(np.int64) + 9 - 2
+    # A location in the half-sample band just below the bound can round up
+    # so its 128-sample window would index one past the buffer; drop it.
+    keep = pss_dft_locs + 128 <= len(capbuf)
+    pss_loc_set = pss_loc_set[keep]
+    pss_dft_locs = pss_dft_locs[keep]
+    n_pss = len(pss_loc_set)
 
     idx = pss_dft_locs[:, None] + np.arange(128)[None, :]
     pss_wins = capbuf[idx]                       # (n_pss, 128)

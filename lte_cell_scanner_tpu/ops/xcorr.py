@@ -152,6 +152,14 @@ def _xc_delay_spread_np(xc_single: np.ndarray, ds_comb_arm: int) -> np.ndarray:
     return out / (2 * ds_comb_arm + 1)
 
 
+def n_comb_sp_for(n_cap: int) -> int:
+    """Number of half-frame folds in the signal-power estimate
+    (reference: src/searcher.cpp:185-221)."""
+    from lte_cell_scanner_tpu.constants import HALF_FRAME, PSS_TD_LEN
+
+    return (n_cap - (PSS_TD_LEN - 1) - PSS_TD_LEN) // HALF_FRAME
+
+
 def xcorr_pss(
     capbuf: np.ndarray,
     f_search_set: np.ndarray,

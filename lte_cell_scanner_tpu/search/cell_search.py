@@ -95,7 +95,9 @@ def cell_search(
             bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
                 len(capbuf), f_search_set, fc_requested, fc_programmed,
                 fs_programmed)
-            n_comb_sp = (len(capbuf) - 136 - 137) // 9600
+            from lte_cell_scanner_tpu.ops.xcorr import n_comb_sp_for
+
+            n_comb_sp = n_comb_sp_for(len(capbuf))
             r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm,
                                       THRESH1_N_NINES)
             cap2 = pad_capture(np.stack(

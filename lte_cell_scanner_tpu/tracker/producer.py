@@ -62,6 +62,7 @@ class SampleFeeder:
         self.searcher_late = 0.0
         self.searcher_ready: Optional[np.ndarray] = None
         self._cells: Dict[int, _CellCapture] = {}
+        self._step = 1.0
         # Descriptor mode (batched device tracker): PDUs carry the window's
         # absolute stream index instead of a copy of the samples.
         self.emit_descriptors = emit_descriptors
@@ -82,13 +83,9 @@ class SampleFeeder:
 
         n = len(samples)
         ts = self.sample_time + step * np.arange(1, n + 1)
-        # wrap mod 19200 (same incremental subtraction as the reference;
-        # a single mod is equivalent for step < 19200)
-        ts = np.where(ts > FRAME, ts - FRAME, ts)
-        # Successive blocks can still drift above 19200 across the block
-        # boundary; normalize fully.
         ts = np.mod(ts, FRAME)
         self.sample_time = float(ts[-1])
+        self._step = step
 
         # ---- searcher capture buffer
         if self.searcher_request or self.searcher_filling:
@@ -138,19 +135,40 @@ class SampleFeeder:
 
         frame_timing = cell.frame_timing
         n = len(samples)
+        step = self._step
         t = 0
         while t < n:
             if not cl.filling:
                 target = frame_timing + cl.target_cap_start_time
-                d = np.mod(ts[t:] - target + FRAME / 2, FRAME) - FRAME / 2
-                # Trigger on |diff| < 0.5, or 0 < diff < 3 (missed the ideal
-                # start because frame timing moved).
-                hit = np.nonzero((np.abs(d) < 0.5) | ((d > 0) & (d < 3)))[0]
-                if len(hit) == 0:
+                # Trigger on |diff| < 0.5, or 0 < diff < 3 (missed the
+                # ideal start because frame timing moved). The LTE clock
+                # rises ~step per sample, so while diff < -0.5 no trigger
+                # is possible: skip ahead arithmetically (O(1) per symbol
+                # instead of scanning the whole remaining block) and only
+                # evaluate a short window around the predicted crossing.
+                hit = None
+                while t < n:
+                    d0 = np.mod(ts[t] - target + FRAME / 2, FRAME) \
+                        - FRAME / 2
+                    if not (abs(d0) < 0.5 or 0 < d0 < 3):
+                        n_skip = int(((-0.5 - d0) % FRAME) / step) - 1
+                        if n_skip > 0:
+                            t += n_skip
+                            continue
+                    d = np.mod(ts[t:t + 8] - target + FRAME / 2, FRAME) \
+                        - FRAME / 2
+                    loc = np.nonzero((np.abs(d) < 0.5)
+                                     | ((d > 0) & (d < 3)))[0]
+                    if len(loc):
+                        hit = t + int(loc[0])
+                        late = float(d[loc[0]])
+                        break
+                    t += len(d)
+                if hit is None:
                     return
-                t = t + int(hit[0])
+                t = hit
                 cl.filling = True
-                cl.late = float(d[hit[0]])
+                cl.late = late
                 cl.buffer_offset = 0
                 cl.frequency_offset = fo
                 cl.frame_timing = frame_timing
