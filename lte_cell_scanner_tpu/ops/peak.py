@@ -43,7 +43,9 @@ def peak_search(
         flat = int(np.argmax(working))
         peak_n_id_2, peak_ind = np.unravel_index(flat, working.shape)
         peak_pow = working[peak_n_id_2, peak_ind]
-        if peak_pow < Z_th1[peak_ind]:
+        if peak_pow < Z_th1[peak_ind] or peak_pow <= 0.0:
+            # <=0 guard: an all-zero capture (dead radio) makes both the
+            # table and the threshold exactly 0, which would loop forever.
             break
 
         # Refine: the collapsed peak sums energy over +/-ds_comb_arm lags;

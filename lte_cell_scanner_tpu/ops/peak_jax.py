@@ -66,8 +66,9 @@ def peak_search_device(packed: jnp.ndarray, single: jnp.ndarray,
         n2 = (flat // HALF_FRAME).astype(jnp.int32)
         ind = (flat % HALF_FRAME).astype(jnp.int32)
         peak_pow = working[n2, ind]
-        valid = jnp.logical_and(jnp.logical_not(done),
-                                peak_pow >= z_th1[ind])
+        valid = jnp.logical_and(
+            jnp.logical_not(done),
+            jnp.logical_and(peak_pow >= z_th1[ind], peak_pow > 0.0))
 
         # Refine to the strongest single lag within +/-ds_comb_arm
         # (src/searcher.cpp:457-465).

@@ -39,9 +39,10 @@ class XcorrResult:
     # (3, 9600) peak power / best frequency-hypothesis index per lag
     xc_incoherent_collapsed_pow: np.ndarray
     xc_incoherent_collapsed_frq: np.ndarray
-    # (3, 9600, n_f) per-hypothesis incoherent sums
+    # (3, 9600, n_f) per-hypothesis incoherent sums (xc_incoherent may be
+    # None on paths that never materialize the smoothed table)
     xc_incoherent_single: np.ndarray
-    xc_incoherent: np.ndarray
+    xc_incoherent: Optional[np.ndarray]
     # (9600,) folded mean received power, aligned to correlation peaks
     sp_incoherent: np.ndarray
     n_comb_xc: int
@@ -160,6 +161,27 @@ def n_comb_sp_for(n_cap: int) -> int:
     return (n_cap - (PSS_TD_LEN - 1) - PSS_TD_LEN) // HALF_FRAME
 
 
+def n_comb_xc_for(n_lags: int, f_search_set: np.ndarray,
+                  fc_requested: float, fc_programmed: float,
+                  fs_programmed: float) -> int:
+    """Number of incoherent fold segments, reduced (rarely) so that every
+    hypothesis's last fold window stays inside the correlation buffer.
+
+    The nominal count (n_lags - 100) // 9600 carries a 100-sample margin
+    for k_factor stride drift (src/searcher.cpp:263-308); on captures much
+    longer than 80 ms at high ppm the drift can exceed it, which would
+    read out of bounds.
+    """
+    n = (n_lags - 100) // HALF_FRAME
+    while n > 1:
+        starts = fold_start_indices(f_search_set, n, fc_requested,
+                                    fc_programmed, fs_programmed)
+        if int(starts[:, -1].max()) + HALF_FRAME <= n_lags:
+            break
+        n -= 1
+    return n
+
+
 def xcorr_pss(
     capbuf: np.ndarray,
     f_search_set: np.ndarray,
@@ -181,7 +203,8 @@ def xcorr_pss(
     templates = shifted_templates(f_search_set, fc_requested, fc_programmed,
                                   fs_programmed)
     xc = _xc_correlate_np(capbuf, templates)
-    n_comb_xc = (xc.shape[1] - 100) // HALF_FRAME
+    n_comb_xc = n_comb_xc_for(xc.shape[1], f_search_set, fc_requested,
+                              fc_programmed, fs_programmed)
     starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
                                 fc_programmed, fs_programmed)
     xc_single = _xc_combine_np(xc, starts)

@@ -35,6 +35,7 @@ from lte_cell_scanner_tpu.constants import HALF_FRAME, PSS_TD_LEN
 from lte_cell_scanner_tpu.ops.xcorr import (
     XcorrResult,
     fold_start_indices,
+    n_comb_xc_for,
     shifted_templates,
 )
 
@@ -101,27 +102,27 @@ def _sp_est(cap_ri: jnp.ndarray, n_comb_sp: int) -> jnp.ndarray:
     return _sp_est_from_pw(cap_ri[:, 0] ** 2 + cap_ri[:, 1] ** 2, n_comb_sp)
 
 
+def win_sum(x, w):
+    """Sliding w-window sum by length doubling: S_{a+b}[k] = S_a[k] +
+    S_b[k+a] — O(log w) vector adds, numerically a balanced tree (NOT
+    reduce_window, which takes minutes to compile and dominates runtime
+    on TPU at this window size; and NOT a cumsum difference, which loses
+    float32 accuracy over 144k samples)."""
+    memo = {1: x}
+
+    def s(n):
+        if n not in memo:
+            h = n // 2
+            a, b = s(h), s(n - h)
+            ln = x.shape[0] - n + 1
+            memo[n] = a[:ln] + jax.lax.dynamic_slice_in_dim(b, h, ln)
+        return memo[n]
+
+    return s(w)
+
+
 def _sp_est_from_pw(pw: jnp.ndarray, n_comb_sp: int) -> jnp.ndarray:
     n_sp = n_comb_sp * HALF_FRAME
-    # Sliding 274-window sum by length doubling: S_{a+b}[k] = S_a[k] +
-    # S_b[k+a] — O(log w) vector adds, numerically a balanced tree (NOT
-    # reduce_window, which takes minutes to compile and dominates runtime
-    # on TPU at this window size; and NOT a cumsum difference, which loses
-    # float32 accuracy over 144k samples).
-    def win_sum(x, w):
-        # memoized: S_n[k] = sum(x[k:k+n]), length len(x)-n+1
-        memo = {1: x}
-
-        def s(n):
-            if n not in memo:
-                h = n // 2
-                a, b = s(h), s(n - h)
-                ln = x.shape[0] - n + 1
-                memo[n] = a[:ln] + jax.lax.dynamic_slice_in_dim(b, h, ln)
-            return memo[n]
-
-        return s(w)
-
     sp = win_sum(pw, 274)[:n_sp] / 274.0
     sp_inc = sp.reshape(n_comb_sp, HALF_FRAME).mean(axis=0)
     return jnp.roll(sp_inc, 137)
@@ -180,7 +181,8 @@ def xcorr_pss_jax(capbuf, f_search_set, ds_comb_arm, fc_requested,
     f_search_set = np.asarray(f_search_set, dtype=np.float64)
     n_cap = capbuf.shape[0]
     n_lags = n_cap - (PSS_TD_LEN - 1)
-    n_comb_xc = (n_lags - 100) // HALF_FRAME
+    n_comb_xc = n_comb_xc_for(n_lags, f_search_set, fc_requested,
+                              fc_programmed, fs_programmed)
     n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME
 
     if use_pallas:

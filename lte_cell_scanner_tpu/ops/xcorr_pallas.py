@@ -225,9 +225,12 @@ def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
     from lte_cell_scanner_tpu.ops.xcorr import (fold_start_indices,
                                                 shifted_templates)
 
+    from lte_cell_scanner_tpu.ops.xcorr import n_comb_xc_for
+
     n_lags = capbuf_len - (PSS_TD_LEN - 1)
-    n_comb_xc = (n_lags - 100) // HALF_FRAME
     f_search_set = np.asarray(f_search_set, dtype=np.float64)
+    n_comb_xc = n_comb_xc_for(n_lags, f_search_set, fc_requested,
+                              fc_programmed, fs_programmed)
     tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,
                             fs_programmed).reshape(-1, PSS_TD_LEN)
     bank = np.block([[tpl.real, -tpl.imag],

@@ -26,7 +26,9 @@ from lte_cell_scanner_tpu.ops.peak_jax import (
     peaks_to_cells,
     r_th1_normalized,
 )
-from lte_cell_scanner_tpu.ops.xcorr import fold_start_indices, shifted_templates
+from lte_cell_scanner_tpu.ops.xcorr import (fold_start_indices,
+                                            n_comb_sp_for, n_comb_xc_for,
+                                            shifted_templates)
 from lte_cell_scanner_tpu.ops.xcorr_jax import _xcorr_core
 
 
@@ -54,8 +56,11 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         raise ValueError(f"B={B} not divisible by cap shards {n_shards}")
     f_search_set = np.asarray(f_search_set, dtype=np.float64)
     n_lags = n_cap - (PSS_TD_LEN - 1)
-    n_comb_xc = (n_lags - 100) // HALF_FRAME
-    n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME
+    # The fold count must be uniform across the batch (static shapes):
+    # take the min over the swept carriers.
+    n_comb_xc = min(n_comb_xc_for(n_lags, f_search_set, fc, fc,
+                                  fs_programmed) for fc in fc_list)
+    n_comb_sp = n_comb_sp_for(n_cap)
     r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm)
 
     cap_ri = np.stack([capbufs.real, capbufs.imag], -1).astype(np.float32)

@@ -35,11 +35,13 @@ from lte_cell_scanner_tpu.constants import HALF_FRAME, PSS_TD_LEN
 from lte_cell_scanner_tpu.ops.xcorr import (
     XcorrResult,
     fold_start_indices,
+    n_comb_sp_for,
     shifted_templates,
 )
 from lte_cell_scanner_tpu.ops.xcorr_jax import (
     _delay_spread,
     correlate_conv,
+    win_sum,
 )
 
 # Blocks start _LEFT_PAD samples before their first fold segment (fold
@@ -86,8 +88,13 @@ def _shard_inputs(capbuf, f_search_set, fc_requested, fc_programmed,
     starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
                                 fc_programmed, fs_programmed)  # (n_f, n_comb)
     local_starts = np.zeros((n_seq, n_f, cps), dtype=np.int32)
-    # Mask of valid fold segments per shard (the tail shard may pad).
+    # Masks of valid fold segments per shard (the tail shard may pad).
+    # The signal-power estimate folds its own count (n_comb_sp_for) — the
+    # correlation count would average zero-padded windows past the
+    # capture end and bias the detection threshold low.
     valid = np.zeros((n_seq, cps), dtype=dtype)
+    n_sp_eff = min(n_comb_sp_for(n_cap), n_seq * cps)
+    valid_sp = np.zeros((n_seq, cps), dtype=dtype)
     sp_off = np.zeros(n_seq, dtype=np.int64)
     for d in range(n_seq):
         base = max(0, d * cps * HALF_FRAME - _LEFT_PAD)
@@ -99,15 +106,18 @@ def _shard_inputs(capbuf, f_search_set, fc_requested, fc_programmed,
             if g < n_comb_xc:
                 local_starts[d, :, m] = starts[:, g] - base
                 valid[d, m] = 1.0
+            if g < n_sp_eff:
+                valid_sp[d, m] = 1.0
     assert (local_starts >= 0).all(), "halo too small for this ppm range"
     tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,
                             fs_programmed).reshape(-1, PSS_TD_LEN)
-    return (blocks, local_starts, valid, sp_off.astype(np.int32),
-            tpl.real.astype(dtype), tpl.imag.astype(dtype), n_comb_xc)
+    return (blocks, local_starts, valid, valid_sp,
+            sp_off.astype(np.int32), tpl.real.astype(dtype),
+            tpl.imag.astype(dtype), n_comb_xc, n_sp_eff)
 
 
-def _sharded_scan_fn(block, local_starts, valid, sp_off, tpl_re, tpl_im,
-                     n_comb_xc, ds_comb_arm):
+def _sharded_scan_fn(block, local_starts, valid, valid_sp, sp_off, tpl_re,
+                     tpl_im, n_comb_xc, ds_comb_arm):
     """Per-shard body (runs under shard_map).
 
     block: (block_len, 2); local_starts: (n_f_local, cps); valid: (cps,);
@@ -119,6 +129,7 @@ def _sharded_scan_fn(block, local_starts, valid, sp_off, tpl_re, tpl_im,
     block = block[0]
     local_starts = local_starts[0]
     valid = valid[0]
+    valid_sp = valid_sp[0]
     xc_re, xc_im = correlate_conv(block, tpl_re, tpl_im)
     mag2 = xc_re * xc_re + xc_im * xc_im
     mag2 = jax.lax.optimization_barrier(mag2)
@@ -144,23 +155,14 @@ def _sharded_scan_fn(block, local_starts, valid, sp_off, tpl_re, tpl_im,
     # Signal power: each shard sums its own fold segments' 274-windows.
     pw = block[:, 0] ** 2 + block[:, 1] ** 2
     n_sp_local = cps * HALF_FRAME
-    memo = {1: pw}
-
-    def wsum(n):
-        if n not in memo:
-            h = n // 2
-            a, b = wsum(h), wsum(n - h)
-            ln = pw.shape[0] - n + 1
-            memo[n] = a[:ln] + jax.lax.dynamic_slice_in_dim(b, h, ln)
-        return memo[n]
-
-    sp_all = wsum(274) / 274.0
+    sp_all = win_sum(pw, 274) / 274.0
     sp = jax.lax.dynamic_slice_in_dim(sp_all, sp_off[0], n_sp_local)
-    sp = sp.reshape(cps, HALF_FRAME) * valid[:, None]
+    sp = sp.reshape(cps, HALF_FRAME) * valid_sp[:, None]
     sp_partial = jax.lax.psum(sp.sum(axis=0), axis_name="seq")
-    # Only the "hyp"=0 copy is fetched; divide by the hyp redundancy that
-    # the seq-psum does not see.
-    return pow_, frq, single, sp_partial
+    # The block (and hence sp) is replicated over the hyp axis, so every
+    # hyp shard computes the identical sp_partial — no extra combine is
+    # needed across hyp.
+    return pow_, frq, single, inc, sp_partial
 
 
 def sharded_xcorr_pss(capbuf, f_search_set, ds_comb_arm, fc_requested,
@@ -170,48 +172,53 @@ def sharded_xcorr_pss(capbuf, f_search_set, ds_comb_arm, fc_requested,
     n_seq = mesh.shape["seq"]
     n_hyp = mesh.shape["hyp"]
     capbuf = np.asarray(capbuf)
-    n_cap = capbuf.shape[0]
-    n_comb_sp = (n_cap - 136 - 137) // HALF_FRAME
 
-    (blocks, local_starts, valid, sp_off, tre, tim, n_comb_xc) = _shard_inputs(
+    (blocks, local_starts, valid, valid_sp, sp_off, tre, tim, n_comb_xc,
+     n_sp_eff) = _shard_inputs(
         capbuf, f_search_set, fc_requested, fc_programmed, fs_programmed,
         n_seq, n_hyp, dtype)
-    n_f = len(np.asarray(f_search_set))
 
-    fn = functools.partial(_sharded_scan_fn, n_comb_xc=n_comb_xc,
-                           ds_comb_arm=ds_comb_arm)
-    shard_fn = jax.shard_map(
-        fn, mesh=mesh,
-        in_specs=(P("seq", None, None), P("seq", "hyp", None), P("seq", None),
-                  P("seq"), P("hyp", None), P("hyp", None)),
-        out_specs=(P(), P(), P(), P()),
-        # Outputs are made equal on every shard by the psum/all_gather
-        # combination, which the static replication checker cannot prove.
-        check_vma=False,
-    )
+    shard_jit = _shard_program(mesh, n_comb_xc, ds_comb_arm,
+                               blocks.shape, local_starts.shape,
+                               tre.shape, np.dtype(dtype).name)
     # Template/starts leading axis is (3*n_f) interleaved foi-major, i.e.
     # channel c = foi*3 + t, so a "hyp" split over axis 0 keeps whole
     # hypotheses together.
-    pow_, frq, single, sp_folds = jax.jit(shard_fn)(
+    pow_, frq, single, inc, sp_folds = shard_jit(
         jnp.asarray(blocks), jnp.asarray(local_starts),
-        jnp.asarray(valid), jnp.asarray(sp_off),
+        jnp.asarray(valid), jnp.asarray(valid_sp), jnp.asarray(sp_off),
         jnp.asarray(tre), jnp.asarray(tim))
 
-    # The seq decomposition covers ceil(n_comb_xc / n_seq)*n_seq fold
-    # segments of sp; normalize by the true count and apply the reference's
-    # alignment shift.
-    sp_inc = np.asarray(sp_folds, dtype=np.float64)
-    # sp folds were summed over the n_comb_xc segments the shards own; the
-    # reference's sp fold count may differ (n_comb_sp) — recompute the
-    # normalization accordingly.
-    sp_inc = np.roll(sp_inc / n_comb_xc, 137)
+    sp_inc = np.roll(np.asarray(sp_folds, dtype=np.float64) / n_sp_eff, 137)
 
     return XcorrResult(
         xc_incoherent_collapsed_pow=np.asarray(pow_, dtype=np.float64),
         xc_incoherent_collapsed_frq=np.asarray(frq).astype(np.int64),
         xc_incoherent_single=np.asarray(single, dtype=np.float64),
-        xc_incoherent=None,
+        xc_incoherent=np.asarray(inc, dtype=np.float64),
         sp_incoherent=sp_inc,
         n_comb_xc=int(n_comb_xc),
-        n_comb_sp=int(n_comb_xc),
+        n_comb_sp=int(n_sp_eff),
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _shard_program(mesh, n_comb_xc, ds_comb_arm, blocks_shape, starts_shape,
+                   tpl_shape, dtype_name):
+    """Build (and cache) the jitted shard_map program — rebuilding the
+    callable per invocation would miss the jit trace cache and retrace
+    through the tunnel on every capture."""
+    del blocks_shape, starts_shape, tpl_shape, dtype_name  # cache keys only
+    fn = functools.partial(_sharded_scan_fn, n_comb_xc=n_comb_xc,
+                           ds_comb_arm=ds_comb_arm)
+    shard_fn = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("seq", None, None), P("seq", "hyp", None),
+                  P("seq", None), P("seq", None), P("seq"),
+                  P("hyp", None), P("hyp", None)),
+        out_specs=(P(), P(), P(), P(), P()),
+        # Outputs are made equal on every shard by the psum/all_gather
+        # combination, which the static replication checker cannot prove.
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)

@@ -87,7 +87,7 @@ def kalibrate(sample_source: Iterator[np.ndarray], state: GlobalState,
                 raise RuntimeError("kalibrate: no cell found in the input")
             continue
         capbuf = buf[:CAPLENGTH]
-        buf = np.zeros(0, dtype=complex)
+        buf = buf[CAPLENGTH:]   # keep the remainder for the next attempt
         cells = cell_search(capbuf, state.fc_requested, state.fc_programmed,
                             state.fs_programmed, f_search_set=f_search_set,
                             backend=backend)
