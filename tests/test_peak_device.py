@@ -64,3 +64,21 @@ def test_device_peaks_match_host_real_capture(capbuf_0000):
     cap, fc = capbuf_0000
     found = _compare(cap, fc, np.arange(-15, 16) * 5e3)
     assert len(found) >= 2  # cells 271 and 277 live in this capture
+
+
+def test_dead_radio_no_hang_no_cells():
+    """An all-zero capture (dead radio: constant 0x7F bytes) must return
+    no cells promptly on both peak-search implementations."""
+    from lte_cell_scanner_tpu.ops.peak_jax import peak_search_device
+
+    zeros = np.zeros((3, 9600))
+    host = peak_search(zeros, zeros.astype(int), np.zeros(9600),
+                       np.array([0.0]), 739e6, 739e6,
+                       np.zeros((3, 9600, 1)), DS_COMB_ARM)
+    assert host == []
+    table = peak_search_device(jnp.asarray(np.zeros((7, 9600))),
+                               jnp.asarray(np.zeros((3, 9600, 1))),
+                               1.0, DS_COMB_ARM)
+    from lte_cell_scanner_tpu.ops.peak_jax import peaks_to_cells
+    assert peaks_to_cells(np.asarray(table), np.array([0.0]),
+                          739e6, 739e6) == []
