@@ -102,12 +102,24 @@ def load_capbuf(data_dir: str, capture_number: int,
 def save_capbuf(data_dir: str, capture_number: int, capbuf: np.ndarray,
                 fc_requested: float,
                 fc_programmed: Optional[float] = None) -> str:
-    """Record a capture. fc is stored as float64 (int32, as the reference
-    stores it, overflows above 2.147 GHz — LTE bands 7/38/41/42)."""
+    """Record a capture.
+
+    fc is stored as an int32 ivec whenever it fits, byte-compatible with
+    the reference's recordings (src/capbuf.cpp:187-197) so CellSearch's
+    own tooling can replay captures made here. int32 overflows above
+    2.147 GHz (LTE bands 7/38/41/42) — those carriers fall back to a
+    float64 dvec, which only this framework reads. The exact tuned
+    frequency always travels in the extra float64 "fc_programmed" field.
+    """
     path = capbuf_path(data_dir, capture_number)
+    fc_int = int(round(fc_requested))
+    if abs(fc_requested - fc_int) < 0.5 and fc_int < 2 ** 31:
+        fc_field = np.array([fc_int], dtype=np.int32)
+    else:
+        fc_field = np.array([float(fc_requested)], dtype=np.float64)
     fields = {
         "capbuf": np.asarray(capbuf, dtype=np.complex128),
-        "fc": np.array([float(fc_requested)], dtype=np.float64),
+        "fc": fc_field,
     }
     if fc_programmed is not None:
         fields["fc_programmed"] = np.array([float(fc_programmed)],

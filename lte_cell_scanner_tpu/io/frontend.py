@@ -85,12 +85,20 @@ def decimate_capture(x: np.ndarray, fs_in: float,
     # decim-wide slice of the reversed taps — `phases` matmuls of
     # (n_out, decim) blocks, O(n_out) memory (not the O(n_out * n_taps)
     # im2col form).
-    n_out = (len(x) - n_taps) // decim + 1
     taps = h[::-1].copy()
     phases = -(-n_taps // decim)
     taps = np.pad(taps, (0, phases * decim - n_taps))
     n_blocks = len(x) // decim
     xb = x[:n_blocks * decim].reshape(n_blocks, decim)
+    # Output count from the *blocked* length: every phase slice
+    # xb[q:q+n_out] must fit in n_blocks rows (a tail of len(x) that is
+    # not a whole block is dropped, so deriving n_out from len(x) would
+    # leave the last phase's slice one row short for most input lengths).
+    n_out = n_blocks - phases + 1
+    if n_out < 1:
+        raise ValueError(
+            f"capture too short to decimate: {len(x)} samples < "
+            f"{phases * decim} ({n_taps}-tap FIR at decim={decim})")
 
     if backend == "jax":
         import jax

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lte_cell_scanner_tpu.constants import DS_COMB_ARM, HALF_FRAME, PSS_TD_LEN
 from lte_cell_scanner_tpu.models.cell import Cell
 from lte_cell_scanner_tpu.ops.peak_jax import (
+    MAX_PEAKS,
     peak_search_device,
     peaks_to_cells,
     r_th1_normalized,
@@ -41,7 +42,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                      f_search_set: np.ndarray, mesh: Mesh,
                      fs_programmed: float = 1.92e6,
                      ds_comb_arm: int = DS_COMB_ARM,
-                     max_peaks: int = 32) -> List[List[Cell]]:
+                     max_peaks: int = MAX_PEAKS) -> List[List[Cell]]:
     """Scan B captures (one per center frequency) data-parallel over the
     ``cap`` mesh axis. Returns the candidate peak list per capture.
 
@@ -88,5 +89,28 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             for x in (cap_ri, tre, tim, starts)]
     tables = np.asarray(jax.jit(sweep)(*args))
 
-    return [peaks_to_cells(tables[b], f_search_set, fc, fc, fs_programmed)
-            for b, fc in enumerate(fc_list)]
+    out: List[List[Cell]] = []
+    for b, fc in enumerate(fc_list):
+        cells = peaks_to_cells(tables[b], f_search_set, fc, fc,
+                               fs_programmed)
+        if len(cells) >= max_peaks:
+            # Device peak table full: the fixed-trip loop may have
+            # truncated a denser capture — redo this capture with the
+            # unbounded host scan (mirrors search/cell_search.py's
+            # fallback for the fused single-capture path).
+            from lte_cell_scanner_tpu.ops.peak import peak_search
+            from lte_cell_scanner_tpu.ops.xcorr import xcorr_pss
+            from lte_cell_scanner_tpu.search.cell_search import \
+                detection_threshold
+
+            r = xcorr_pss(capbufs[b], f_search_set, ds_comb_arm, fc, fc,
+                          fs_programmed, backend="numpy")
+            z_th1 = detection_threshold(r.sp_incoherent, r.n_comb_xc,
+                                        ds_comb_arm)
+            cells = peak_search(r.xc_incoherent_collapsed_pow,
+                                r.xc_incoherent_collapsed_frq, z_th1,
+                                f_search_set, fc, fc,
+                                r.xc_incoherent_single, ds_comb_arm,
+                                fs_programmed)
+        out.append(cells)
+    return out

@@ -30,6 +30,20 @@ def test_fir_passband_and_alias_rejection():
     assert abs(np.abs(y[200:-200]).mean() - 1.0) < 0.01
 
 
+def test_arbitrary_input_lengths():
+    """decimate_capture must accept captures whose length is not a
+    multiple of decim (any real wideband recording)."""
+    rng = np.random.default_rng(1)
+    fs_in = 8 * FS_SEARCH
+    base = rng.standard_normal(65544) + 1j * rng.standard_normal(65544)
+    ref = decimate_capture(base, fs_in)
+    for n in (65541, 65543, 65537):
+        y = decimate_capture(base[:n], fs_in)
+        assert len(y) >= len(ref) - 1
+        m = min(len(y), len(ref))
+        np.testing.assert_allclose(y[:m], ref[:m], atol=1e-12)
+
+
 def test_jax_backend_matches_numpy():
     rng = np.random.default_rng(0)
     fs_in = 4 * FS_SEARCH

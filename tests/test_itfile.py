@@ -53,3 +53,23 @@ def test_roundtrip(tmp_path):
     back = load_it(p)
     for k, v in recs.items():
         np.testing.assert_array_equal(back[k], v)
+
+
+def test_save_capbuf_fc_int32_interop(tmp_path):
+    """Recordings store fc as int32 (reference-compatible,
+    src/capbuf.cpp:187-197); >2^31 carriers fall back to float64."""
+    from lte_cell_scanner_tpu.io.capture import load_capbuf, save_capbuf
+
+    cap = (np.arange(64) - 32) / 128 + 1j * (np.arange(64) - 16) / 128
+    save_capbuf(str(tmp_path), 0, cap, 739e6, fc_programmed=739000058.0)
+    d = load_it(str(tmp_path / "capbuf_0000.it"))
+    assert d["fc"].dtype == np.int32 and int(d["fc"][0]) == 739000000
+    assert float(d["fc_programmed"][0]) == 739000058.0
+    back, fc_prog = load_capbuf(str(tmp_path), 0, 739e6)
+    np.testing.assert_array_equal(back, cap)
+    assert fc_prog == 739000058.0
+
+    # Band-41 style carrier: no int32 representation, float64 fallback.
+    save_capbuf(str(tmp_path), 1, cap, 2.6e9)
+    d = load_it(str(tmp_path / "capbuf_0001.it"))
+    assert d["fc"].dtype == np.float64 and float(d["fc"][0]) == 2.6e9
