@@ -1,0 +1,404 @@
+"""Batched device SSS detection + fine FOE (stage 1 of the device decode).
+
+reference: src/searcher.cpp:533-850 (sss_detect_getce_sss, sss_detect_ml,
+sss_detect, pss_sss_foe), mirrored numerically by the float64 host path in
+ops/sync.py. Where the host processes one candidate peak at a time, this
+module runs EVERY candidate of a capture in ONE fixed-shape device
+program:
+
+- the per-repetition PSS/SSS window extraction is a batched gather + one
+  (128 -> 62-bin) DFT matmul on the MXU;
+- the 168 x 2 x {nrm, ext} ML hypothesis scan is four matmuls against the
+  (168, 124) SSS table;
+- the fine FOE is evaluated for all four (frame-phase ordering x CP type)
+  combinations with HOST-precomputed float64 window locations, and the
+  detected combination is selected on device — so the only host -> device
+  traffic is the tiny index plan, and the only device -> host traffic is
+  ~8 scalars per peak.
+
+Sample-index arithmetic (the k_factor-sensitive part, SURVEY §7 "hard
+parts") stays in float64 on the host inside :func:`sync_plan`; the device
+does only window-local math, which is float32-safe (per-window phases
+span < 3 cycles).
+
+No complex dtypes on device: split re/im planes throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lte_cell_scanner_tpu.constants import FS_LTE, HALF_FRAME
+from lte_cell_scanner_tpu.models.cell import Cell
+from lte_cell_scanner_tpu.models.pss import pss_fd
+from lte_cell_scanner_tpu.models.sss import sss_fd_all
+from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cmul, _cconj
+from lte_cell_scanner_tpu.utils.dsp import matlab_range, wrap
+
+N_REP = 16   # max PSS repetitions in an 80 ms capture (ceil(153600/9600))
+N_SSS = 16   # max PSS/SSS pairs available to the fine FOE
+
+
+def _bucket(n: int, lo: int = 1) -> int:
+    b = lo
+    while b < n:
+        b = b * 2 if b < 4 else int(b * 1.5 + 0.999)
+    return b
+
+
+# ----------------------------------------------------------------------
+# Constant tables.
+
+
+@functools.lru_cache(maxsize=1)
+def _dft62():
+    """(128, 62) unitary DFT restricted to the 62 sync bins with the
+    2-sample timing-margin rotation folded in (ops/sync.py extract_psss)."""
+    bins = np.concatenate([np.arange(97, 128), np.arange(1, 32)])
+    t = np.arange(128)[:, None]
+    w = np.exp(-2j * np.pi * ((t - 2) % 128) * bins[None, :] / 128.0)
+    w = w / np.sqrt(128.0)
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def _smooth13_mat():
+    """(62, 62) frequency smoother: out[t] = mean(h[max(0,t-6):min(61,t+6)+1])."""
+    m = np.zeros((62, 62), np.float32)
+    for t in range(62):
+        lt, rt = max(0, t - 6), min(61, t + 6)
+        m[t, lt:rt + 1] = 1.0 / (rt - lt + 1)
+    return m
+
+
+@functools.lru_cache(maxsize=1)
+def _pss_fd_conj():
+    """(3, 62, 2) conj(PSS_fd) split planes."""
+    t = np.stack([np.conj(pss_fd(i)) for i in range(3)])
+    return np.stack([t.real, t.imag], -1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def _sss_tables():
+    """(3, 168, 2, 62) float32 +/-1 SSS table for each n_id_2."""
+    return np.stack([sss_fd_all(i) for i in range(3)]).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# Host-side plan (float64 index arithmetic).
+
+
+@dataclasses.dataclass
+class SyncPlan:
+    """Fixed-shape arrays driving the device program (leading axis B)."""
+
+    pss_idx: np.ndarray      # (B, N_REP) i32 — PSS DFT window starts
+    rep_mask: np.ndarray     # (B, N_REP) f32
+    foc: np.ndarray          # (B,) f32 — -peak_freq
+    inv_fs: np.ndarray       # (B,) f32 — 1 / fs_eff
+    n_id_2: np.ndarray       # (B,) i32
+    foe_pss: np.ndarray      # (B, 2, 2, N_SSS) i32 (ordering, cp)
+    foe_sss: np.ndarray      # (B, 2, 2, N_SSS) i32
+    foe_mask: np.ndarray     # (B, 2, 2, N_SSS) f32
+    foe_seq: np.ndarray      # (B, 2, 2, N_SSS) i32 — 0: slot-0 SSS, 1: slot-10
+    foe_phase: np.ndarray    # (B, 2, 2) f32 — phase const angle per (o, cp)
+    foe_conv: np.ndarray     # (B, 2) f32 — fs_eff / (2 pi dist) per cp
+    freq: np.ndarray         # (B,) f64 — coarse peak freq
+    frame_start: np.ndarray  # (B, 2) f64 — candidate per ordering (host f64)
+    valid: np.ndarray        # (B,) bool — real (non-padding) rows
+
+
+def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
+              fc_programmed: float, fs_programmed: float,
+              bucket: bool = True) -> SyncPlan:
+    """Float64 window-location plan for a batch of candidate peaks.
+
+    Mirrors the index arithmetic of ops/sync.py `_getce_sss` /
+    `sss_detect` / `pss_sss_foe` exactly (native mode).
+    """
+    B = _bucket(max(1, len(cells))) if bucket else max(1, len(cells))
+    p = SyncPlan(
+        pss_idx=np.zeros((B, N_REP), np.int32),
+        rep_mask=np.zeros((B, N_REP), np.float32),
+        foc=np.zeros(B, np.float32),
+        inv_fs=np.zeros(B, np.float32),
+        n_id_2=np.zeros(B, np.int32),
+        foe_pss=np.zeros((B, 2, 2, N_SSS), np.int32),
+        foe_sss=np.zeros((B, 2, 2, N_SSS), np.int32),
+        foe_mask=np.zeros((B, 2, 2, N_SSS), np.float32),
+        foe_seq=np.zeros((B, 2, 2, N_SSS), np.int32),
+        foe_phase=np.zeros((B, 2, 2), np.float32),
+        foe_conv=np.zeros((B, 2), np.float32),
+        freq=np.zeros(B, np.float64),
+        frame_start=np.zeros((B, 2), np.float64),
+        valid=np.zeros(B, bool),
+    )
+    for b, cell in enumerate(cells):
+        k_factor = (fc_requested - cell.freq) / fc_programmed
+        fs_eff = fs_programmed * k_factor
+        u = 16.0 / FS_LTE * fs_programmed * k_factor
+        peak_loc = float(cell.ind)
+        if peak_loc + 9 < 162:
+            peak_loc += HALF_FRAME * k_factor
+
+        # --- detection windows (ops/sync.py:_getce_sss)
+        pss_loc_set = matlab_range(peak_loc, k_factor * HALF_FRAME,
+                                   n_cap - 125 - 9)
+        locs = np.round(pss_loc_set).astype(np.int64) + 9 - 2
+        locs = locs[locs + 128 <= n_cap]
+        n_rep = min(len(locs), N_REP)
+        p.pss_idx[b, :n_rep] = locs[:n_rep]
+        p.rep_mask[b, :n_rep] = 1.0
+        p.foc[b] = -cell.freq
+        p.inv_fs[b] = 1.0 / fs_eff
+        p.n_id_2[b] = cell.n_id_2
+        p.freq[b] = cell.freq
+        p.valid[b] = True
+
+        # --- frame_start candidates per ordering (ops/sync.py:sss_detect)
+        base = peak_loc + (128 + 9 - 960 - 2) * u
+        p.frame_start[b, 0] = wrap(base, -0.5, 2 * HALF_FRAME - 0.5)
+        p.frame_start[b, 1] = wrap(base + HALF_FRAME * u, -0.5,
+                                   2 * HALF_FRAME - 0.5)
+
+        # --- FOE windows for every (ordering, cp) combo
+        # (ops/sync.py:pss_sss_foe)
+        for ci, cp_type in enumerate(("normal", "extended")):
+            if cp_type == "normal":
+                dist = int(round((128 + 9) * u))
+                back = (960 - 128 - 9 - 128) * u
+            else:
+                # reference quirk: no fs/FS_LTE rescale on this arm
+                # (src/searcher.cpp:783)
+                dist = int(round((128 + 32) * k_factor))
+                back = (960 - 128 - 32 - 128) * u
+            p.foe_conv[b, ci] = fs_eff / (2.0 * np.pi * dist)
+            p.foe_phase[b, :, ci] = (np.pi * -cell.freq
+                                     / (FS_LTE / 16 / 2) * -dist)
+            for oi in range(2):
+                first_sss = p.frame_start[b, oi] + back
+                first_sss = float(wrap(first_sss, -0.5, 9600 * 2 - 0.5))
+                if first_sss - HALF_FRAME * k_factor > -0.5:
+                    first_sss -= HALF_FRAME * k_factor
+                    sn0 = 10
+                else:
+                    sn0 = 0
+                loc_set = matlab_range(first_sss, HALF_FRAME * u,
+                                       n_cap - 127 - dist - 100)
+                n_sss = min(len(loc_set), N_SSS)
+                sss_locs = np.round(loc_set[:n_sss]).astype(np.int64)
+                p.foe_sss[b, oi, ci, :n_sss] = sss_locs
+                p.foe_pss[b, oi, ci, :n_sss] = sss_locs + dist
+                p.foe_mask[b, oi, ci, :n_sss] = 1.0
+                sn = np.where((np.arange(n_sss) % 2) == 0, sn0, 10 - sn0)
+                p.foe_seq[b, oi, ci, :n_sss] = (sn != 0).astype(np.int32)
+    return p
+
+
+# ----------------------------------------------------------------------
+# Device program.
+
+
+def _extract_psss_dev(wins, foc_rate):
+    """FOC + 2-sample TOC + DFT to the 62 sync bins.
+
+    wins: (..., 128, 2); foc_rate: broadcastable (...,) — the per-sample
+    FOC phase rate 2*pi*foc/fs_eff. Returns (..., 62, 2).
+    """
+    t = jnp.arange(128, dtype=wins.dtype)
+    ang = foc_rate[..., None] * t
+    rot = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    x = _cmul(wins, rot)
+    wr, wi = (jnp.asarray(m) for m in _dft62())
+    yr = x[..., 0] @ wr - x[..., 1] @ wi
+    yi = x[..., 0] @ wi + x[..., 1] @ wr
+    return jnp.stack([yr, yi], axis=-1)
+
+
+def _gather_wins(cap, idx):
+    """cap (n_cap, 2), idx (..., ) i32 -> windows (..., 128, 2)."""
+    flat = idx[..., None] + jnp.arange(128, dtype=jnp.int32)
+    return cap[flat]
+
+
+def _combine(h, np_, raw, mask):
+    """MMSE combination across repetitions (axis -3 of h/raw, -1 of mask).
+
+    h, raw: (B, R, 62, 2); np_: (B, R); mask: (B, R).
+    Returns (np_est (B, 62), est (B, 62, 2)).
+    """
+    w = mask / jnp.where(np_ > 0, np_, 1.0)               # (B, R)
+    acc = jnp.sum(_cabs2(h) * w[..., None], axis=-2)      # (B, 62)
+    np_est = 1.0 / (1.0 + acc)
+    num = jnp.sum(_cmul(_cconj(h), raw) * w[..., None, None], axis=-3)
+    return np_est, num * np_est[..., None]
+
+
+def _ml_lls(est, np12, tables):
+    """Log-likelihood of the 168 hypotheses for one (est, ordering).
+
+    est: (B, 124, 2); np12: (B, 124); tables: (B, 168, 124) +/-1.
+    Returns (B, 168).
+    """
+    inv = 1.0 / np12
+    s_term = jnp.sum((1.0 + _cabs2(est)) * inv, axis=-1)       # (B,)
+    er, ei = est[..., 0], est[..., 1]
+    # corr = sum_k t_k conj(e_k);  cw = same with 1/np weights.
+    cr = jnp.einsum("bhk,bk->bh", tables, er)
+    ci = -jnp.einsum("bhk,bk->bh", tables, ei)
+    cwr = jnp.einsum("bhk,bk->bh", tables, er * inv)
+    cwi = -jnp.einsum("bhk,bk->bh", tables, ei * inv)
+    mag = jnp.sqrt(cr * cr + ci * ci)
+    mag = jnp.where(mag > 0, mag, 1.0)
+    return -s_term[:, None] + 2.0 * (cwr * cr + cwi * ci) / mag
+
+
+@jax.jit
+def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
+                 foe_sss, foe_mask, foe_seq, foe_phase, foe_conv,
+                 thresh2_n_sigma):
+    """The full batched sync program. See module docstring.
+
+    cap: (n_cap, 2) f32. Returns dict of (B,)-shaped results.
+    """
+    f32 = cap.dtype
+    foc_rate = 2.0 * jnp.pi * foc * inv_fs                 # (B,)
+
+    # ---- detection: channel estimates from every PSS repetition.
+    wins = _gather_wins(cap, pss_idx)                      # (B, R, 128, 2)
+    h_raw = _extract_psss_dev(wins, foc_rate[:, None])
+    pconj = jnp.asarray(_pss_fd_conj())[n_id_2]            # (B, 62, 2)
+    h_raw = _cmul(h_raw, pconj[:, None])
+    sm = jnp.asarray(_smooth13_mat())
+    h_sm = jnp.stack([h_raw[..., 0] @ sm.T, h_raw[..., 1] @ sm.T], -1)
+    pss_np = jnp.mean(_cabs2(h_sm - h_raw), axis=-1)       # (B, R)
+
+    nrm_raw = _extract_psss_dev(
+        _gather_wins(cap, pss_idx - 128 - 9), foc_rate[:, None])
+    ext_raw = _extract_psss_dev(
+        _gather_wins(cap, pss_idx - 128 - 32), foc_rate[:, None])
+
+    # Parity split: h1 = even repetitions, h2 = odd.
+    ev, od = rep_mask[:, 0::2], rep_mask[:, 1::2]
+    h1, h2 = h_sm[:, 0::2], h_sm[:, 1::2]
+    np1, np2 = pss_np[:, 0::2], pss_np[:, 1::2]
+    np_h1, est_nrm_h1 = _combine(h1, np1, nrm_raw[:, 0::2], ev)
+    np_h2, est_nrm_h2 = _combine(h2, np2, nrm_raw[:, 1::2], od)
+    _, est_ext_h1 = _combine(h1, np1, ext_raw[:, 0::2], ev)
+    _, est_ext_h2 = _combine(h2, np2, ext_raw[:, 1::2], od)
+
+    np12 = jnp.concatenate([np_h1, np_h2], axis=-1)        # (B, 124)
+    est_nrm = jnp.concatenate([est_nrm_h1, est_nrm_h2], axis=-2)
+    est_ext = jnp.concatenate([est_ext_h1, est_ext_h2], axis=-2)
+
+    # ---- ML scan over 168 x 2 orderings x {nrm, ext}.
+    tabs = jnp.asarray(_sss_tables())[n_id_2]              # (B, 168, 2, 62)
+    h12 = tabs.reshape(tabs.shape[0], 168, 124)
+    h21 = tabs[:, :, ::-1, :].reshape(tabs.shape[0], 168, 124)
+    ll = jnp.stack([
+        jnp.stack([_ml_lls(est_nrm, np12, h12),
+                   _ml_lls(est_nrm, np12, h21)], axis=-1),
+        jnp.stack([_ml_lls(est_ext, np12, h12),
+                   _ml_lls(est_ext, np12, h21)], axis=-1),
+    ], axis=-1)                                            # (B, 168, 2o, 2c)
+
+    ll_max_c = jnp.max(ll, axis=(1, 2))                    # (B, 2c)
+    cp_sel = jnp.argmax(ll_max_c, axis=-1).astype(jnp.int32)
+    ll_cp = jnp.take_along_axis(
+        ll, cp_sel[:, None, None, None], axis=3)[..., 0]   # (B, 168, 2o)
+    ord_sel = jnp.argmax(jnp.max(ll_cp, axis=1), axis=-1).astype(jnp.int32)
+    ll_ord = jnp.take_along_axis(
+        ll_cp, ord_sel[:, None, None], axis=2)[..., 0]     # (B, 168)
+    n_id_1 = jnp.argmax(ll_ord, axis=-1).astype(jnp.int32)
+    lik_final = jnp.max(ll_ord, axis=-1)
+
+    flat = ll.reshape(ll.shape[0], -1)                     # (B, 672)
+    lik_mean = jnp.mean(flat, axis=-1)
+    lik_std = jnp.sqrt(jnp.sum((flat - lik_mean[:, None]) ** 2, axis=-1)
+                       / (flat.shape[-1] - 1))
+    detected = lik_final >= lik_mean + lik_std * thresh2_n_sigma
+
+    # ---- fine FOE for all four (ordering, cp) combos, then select.
+    pw = _gather_wins(cap, foe_pss)                        # (B,2,2,S,128,2)
+    sw = _gather_wins(cap, foe_sss)
+    fr = foc_rate[:, None, None, None]
+    fh_raw = _cmul(_extract_psss_dev(pw, fr), pconj[:, None, None, None])
+    fh_sm = jnp.stack([fh_raw[..., 0] @ sm.T, fh_raw[..., 1] @ sm.T], -1)
+    fnp = jnp.mean(_cabs2(fh_sm - fh_raw), axis=-1)        # (B,2,2,S)
+
+    # Known SSS of the detected (n_id_1, slot) per repetition.
+    tab_det = jnp.take_along_axis(
+        tabs, n_id_1[:, None, None, None], axis=1)[:, 0]   # (B, 2, 62)
+    bb = jnp.arange(tab_det.shape[0])[:, None, None, None]
+    known = tab_det[bb, foe_seq]                           # (B,2,2,S,62)
+
+    ph = foe_phase[..., None, None]                        # (B,2,2,1,1)
+    prot = jnp.stack([jnp.cos(ph), jnp.sin(ph)], -1)       # (B,2,2,1,1,2)
+    sss_raw = _cmul(_extract_psss_dev(sw, fr), prot)
+    sss_raw = sss_raw * known[..., None]
+
+    fh2 = _cabs2(fh_sm)
+    w = fh2 / (2.0 * fh2 * fnp[..., None] + (fnp ** 2)[..., None])
+    m_all = jnp.sum(_cmul(_cconj(sss_raw), fh_raw)
+                    * (w * foe_mask[..., None])[..., None],
+                    axis=(-3, -2))                         # (B, 2, 2, 2ri)
+    m_o = jnp.take_along_axis(m_all, ord_sel[:, None, None, None],
+                              axis=1)[:, 0]                # (B, 2c, 2)
+    m_sel = jnp.take_along_axis(m_o, cp_sel[:, None, None],
+                                axis=1)[:, 0]              # (B, 2)
+    conv = jnp.take_along_axis(foe_conv, cp_sel[:, None], axis=1)[:, 0]
+    dfreq = jnp.arctan2(m_sel[:, 1], m_sel[:, 0]) * conv
+
+    return {
+        "n_id_1": n_id_1, "cp_sel": cp_sel, "ord_sel": ord_sel,
+        "detected": detected, "dfreq": dfreq.astype(f32),
+        "lik_final": lik_final, "lik_mean": lik_mean, "lik_std": lik_std,
+    }
+
+
+# ----------------------------------------------------------------------
+# Host wrapper.
+
+
+def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
+                  fc_programmed: float, fs_programmed: float,
+                  thresh2_n_sigma: float, cap_dev=None) -> List[Cell]:
+    """Run SSS detection + fine FOE for every candidate peak on device.
+
+    ``cap_dev`` may pass an already-device-resident (n_cap, 2) float32
+    capture (re/im planes) to avoid re-uploading. Returns new Cell
+    records: detected peaks carry n_id_1/cp_type/frame_start/freq_fine,
+    rejected ones n_id_1 == -1 (same contract as ops.sync.sss_detect +
+    pss_sss_foe).
+    """
+    if not cells:
+        return []
+    capbuf = np.asarray(capbuf)
+    if cap_dev is None:
+        cap_dev = jnp.asarray(
+            np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
+    plan = sync_plan(cells, len(capbuf), fc_requested, fc_programmed,
+                     fs_programmed)
+    out = _sync_device(cap_dev, plan.pss_idx, plan.rep_mask, plan.foc,
+                       plan.inv_fs, plan.n_id_2, plan.foe_pss,
+                       plan.foe_sss, plan.foe_mask, plan.foe_seq,
+                       plan.foe_phase, plan.foe_conv,
+                       np.float32(thresh2_n_sigma))
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    res: List[Cell] = []
+    for b, cell in enumerate(cells):
+        c = dataclasses.replace(cell)
+        if out["detected"][b]:
+            c.n_id_1 = int(out["n_id_1"][b])
+            c.cp_type = "extended" if out["cp_sel"][b] else "normal"
+            c.frame_start = float(plan.frame_start[b, out["ord_sel"][b]])
+            c.freq_fine = cell.freq + float(out["dfreq"][b])
+        res.append(c)
+    return res

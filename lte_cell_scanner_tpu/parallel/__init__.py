@@ -6,3 +6,7 @@ from lte_cell_scanner_tpu.parallel.fc_sweep import (  # noqa: F401
     make_cap_mesh,
     sharded_fc_sweep,
 )
+from lte_cell_scanner_tpu.parallel.multihost import (  # noqa: F401
+    dryrun_multihost,
+    init_multihost,
+)

@@ -29,7 +29,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lte_cell_scanner_tpu.constants import HALF_FRAME, PSS_TD_LEN
 from lte_cell_scanner_tpu.ops.xcorr import (
@@ -52,10 +52,51 @@ _LEFT_PAD = 64
 _RIGHT_PAD = 280
 
 
+# Input layout of the shard_map program (order matches _sharded_scan_fn):
+# blocks, local_starts, valid, valid_sp, sp_off, tpl_re, tpl_im.
+_IN_SPECS = (P("seq", None, None), P("seq", "hyp", None),
+             P("seq", None), P("seq", None), P("seq"),
+             P("hyp", None), P("hyp", None))
+
+
 def make_search_mesh(n_seq: int, n_hyp: int = 1):
-    """Build an (seq, hyp) mesh from the first n_seq*n_hyp local devices."""
+    """Build an (seq, hyp) mesh from the first n_seq*n_hyp devices.
+
+    With jax.distributed initialized, jax.devices() enumerates the GLOBAL
+    device list, so the same mesh spans every participating process —
+    ``seq`` is laid out process-major so each host owns a contiguous run
+    of fold segments and the psum's cross-host leg (DCN in a real pod,
+    gloo in the CPU dryrun) carries only the (3, 9600, n_f_local) partial
+    fold tables.
+    """
     devs = np.array(jax.devices()[: n_seq * n_hyp]).reshape(n_seq, n_hyp)
     return Mesh(devs, axis_names=("seq", "hyp"))
+
+
+def _stage_inputs(mesh: Mesh, args, specs=_IN_SPECS):
+    """Host arrays -> device arrays on the mesh.
+
+    Single-process: jnp.asarray (jit moves them). Multi-process: each
+    process materializes only its addressable shards via
+    make_array_from_callback (a plain numpy arg would fail — no process
+    holds all of a multi-host array's devices).
+    """
+    if jax.process_count() == 1:
+        return [jnp.asarray(a) for a in args]
+    out = []
+    for a, spec in zip(args, specs):
+        a = np.asarray(a)
+        sh = NamedSharding(mesh, spec)
+        out.append(jax.make_array_from_callback(
+            a.shape, sh, lambda idx, a=a: a[idx]))
+    return out
+
+
+def _fetch(x) -> np.ndarray:
+    """Replicated device array -> local numpy (multi-process safe)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    return np.asarray(x.addressable_data(0))
 
 
 def _plan_blocks(n_cap: int, n_seq: int) -> Tuple[int, int, int]:
@@ -184,18 +225,17 @@ def sharded_xcorr_pss(capbuf, f_search_set, ds_comb_arm, fc_requested,
     # Template/starts leading axis is (3*n_f) interleaved foi-major, i.e.
     # channel c = foi*3 + t, so a "hyp" split over axis 0 keeps whole
     # hypotheses together.
-    pow_, frq, single, inc, sp_folds = shard_jit(
-        jnp.asarray(blocks), jnp.asarray(local_starts),
-        jnp.asarray(valid), jnp.asarray(valid_sp), jnp.asarray(sp_off),
-        jnp.asarray(tre), jnp.asarray(tim))
+    staged = _stage_inputs(mesh, (blocks, local_starts, valid, valid_sp,
+                                  sp_off, tre, tim))
+    pow_, frq, single, inc, sp_folds = shard_jit(*staged)
 
-    sp_inc = np.roll(np.asarray(sp_folds, dtype=np.float64) / n_sp_eff, 137)
+    sp_inc = np.roll(_fetch(sp_folds).astype(np.float64) / n_sp_eff, 137)
 
     return XcorrResult(
-        xc_incoherent_collapsed_pow=np.asarray(pow_, dtype=np.float64),
-        xc_incoherent_collapsed_frq=np.asarray(frq).astype(np.int64),
-        xc_incoherent_single=np.asarray(single, dtype=np.float64),
-        xc_incoherent=np.asarray(inc, dtype=np.float64),
+        xc_incoherent_collapsed_pow=_fetch(pow_).astype(np.float64),
+        xc_incoherent_collapsed_frq=_fetch(frq).astype(np.int64),
+        xc_incoherent_single=_fetch(single).astype(np.float64),
+        xc_incoherent=_fetch(inc).astype(np.float64),
         sp_incoherent=sp_inc,
         n_comb_xc=int(n_comb_xc),
         n_comb_sp=int(n_sp_eff),
@@ -213,9 +253,7 @@ def _shard_program(mesh, n_comb_xc, ds_comb_arm, blocks_shape, starts_shape,
                            ds_comb_arm=ds_comb_arm)
     shard_fn = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P("seq", None, None), P("seq", "hyp", None),
-                  P("seq", None), P("seq", None), P("seq"),
-                  P("hyp", None), P("hyp", None)),
+        in_specs=_IN_SPECS,
         out_specs=(P(), P(), P(), P(), P()),
         # Outputs are made equal on every shard by the psum/all_gather
         # combination, which the static replication checker cannot prove.

@@ -1,0 +1,18 @@
+"""Multi-host (multi-process) distributed execution.
+
+Spawns REAL OS processes: each worker calls jax.distributed.initialize
+(gloo collectives over localhost), builds a global (seq, hyp) mesh that
+spans the process boundary, runs the sharded PSS scan, and asserts 1e-12
+full-table parity against the float64 host reference. SURVEY §2.9/§5
+"distributed communication backend"; BASELINE.md multi-host north star.
+"""
+
+from lte_cell_scanner_tpu.parallel.multihost import dryrun_multihost
+
+
+def test_two_process_parity():
+    # Smaller than the production dryrun (which the driver runs via
+    # __graft_entry__) to keep the suite fast; still crosses the process
+    # boundary with both the seq psum and the hyp all_gather.
+    dryrun_multihost(n_procs=2, devices_per_proc=2, n_cap=76800, n_f=4,
+                     n_hyp=2, verbose=False)
