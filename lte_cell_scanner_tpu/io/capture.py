@@ -161,6 +161,7 @@ class CaptureSource:
             self._sdr = RtlSdr()
             self._sdr.sample_rate = round(1.92e6 * correction)
             self._sdr.gain = "auto"
+            self._agc_settled = False
 
     def capture(self, fc_requested: float) -> Tuple[np.ndarray, float]:
         """Produce one 80 ms capture; returns (capbuf, fc_programmed)."""
@@ -174,7 +175,28 @@ class CaptureSource:
             capbuf = synthetic_capture(**self.sim_kwargs)
             fc_programmed = fc_requested
         elif self.backend == "rtlsdr":  # pragma: no cover - hardware path
-            self._sdr.center_freq = round(fc_requested * self.correction)
+            # Tuner programming can fail transiently: retry up to 5 times
+            # with a 1 s backoff (reference src/CellSearch.cpp:389-398).
+            for attempt in range(5):
+                try:
+                    self._sdr.center_freq = round(
+                        fc_requested * self.correction)
+                    break
+                except OSError:
+                    if attempt == 4:
+                        raise
+                    import time
+
+                    print("Unable to set center frequency... retrying...")
+                    time.sleep(1.0)
+            if not self._agc_settled:
+                # Discard ~1.5 s of samples so the AGC converges before
+                # the first capture (reference src/CellSearch.cpp:413-433
+                # drops 2 880 000 IQ pairs after enabling AGC).
+                n_drop = 0
+                while n_drop < 2_880_000:
+                    n_drop += len(self._sdr.read_samples(16 * 16384))
+                self._agc_settled = True
             raw = self._sdr.read_samples(CAPLENGTH)
             capbuf = np.asarray(raw, dtype=np.complex128)
             if self.tuner.lower() == "e4000":

@@ -1,0 +1,666 @@
+"""Batched device TFG extraction + TFOEC + channel estimation + MIB decode
+(stage 2 of the device decode chain).
+
+reference: src/searcher.cpp:852-1692 (extract_tfg, tfoec, chan_est,
+pbch_extract, decode_mib), mirrored numerically by the float64 host paths
+in ops/tfg.py, ops/chanest.py and ops/pbch.py. One fixed-shape device
+program runs EVERY surviving candidate of a capture:
+
+- the 854 (normal CP) / 732 (extended) per-symbol DFTs are one gather +
+  one (128 -> 72-bin) DFT matmul on the MXU, with the fractional-timing
+  phase ramps as vectorized outer products;
+- superfine FOE/TOE and the grid compensations are batched RS gathers;
+- channel estimation uses the separable freq-then-time linear
+  interpolator (ce_interp_freq_time — the reference documents all three
+  interpolators as equivalent, src/searcher.cpp:1472-1475), expressed as
+  two constant matmuls; the hex interpolator stays available on the host
+  path for exact reference parity;
+- the 4 frame-timing x {1,2,4}-port blind MIB search runs all 12
+  hypotheses in parallel: SFBC compensation, QPSK LLRs, descrambling and
+  de-ratematching are vector math, the tail-biting Viterbi is the
+  batched 64-state trellis of models/convcode_jax.py, and the CRC16
+  check is a GF(2) matmul.
+
+Float64 sample-index arithmetic (symbol timestamps, absolute FOC phases)
+stays on the host in :func:`mib_plan`; the device works with per-window
+phases and host-precomputed integer gather indices. No complex dtypes on
+device: split re/im planes throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lte_cell_scanner_tpu.constants import FS_LTE
+from lte_cell_scanner_tpu.models.cell import Cell
+from lte_cell_scanner_tpu.models.convcode_jax import _decode_one
+from lte_cell_scanner_tpu.models.crc import lte_calc_crc
+from lte_cell_scanner_tpu.models.pn import lte_pn
+from lte_cell_scanner_tpu.models.ratematch import _index_map
+from lte_cell_scanner_tpu.models.rs import RSDL
+from lte_cell_scanner_tpu.ops.pbch import N_RB_DL_TABLE, PHICH_RES_TABLE
+from lte_cell_scanner_tpu.ops.tfg import CN, symbol_timestamps
+from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cconj, _cmul
+from lte_cell_scanner_tpu.utils.dsp import interp1
+
+
+def _bucket(n: int, lo: int = 4) -> int:
+    """Coarse (x4) batch buckets — see ops/sync_jax.py._bucket."""
+    b = lo
+    while b < n:
+        b *= 4
+    return b
+
+
+# ----------------------------------------------------------------------
+# Constant tables (host-side, cached per CP type).
+
+
+@functools.lru_cache(maxsize=1)
+def _dft72():
+    """(128, 72) unitary DFT restricted to the 72 kept subcarriers
+    (no timing-margin rotation — extract_tfg takes the DFT in place)."""
+    bins = np.concatenate([np.arange(92, 128), np.arange(1, 37)])
+    t = np.arange(128)[:, None]
+    w = np.exp(-2j * np.pi * t * bins[None, :] / 128.0) / np.sqrt(128.0)
+    return w.real.astype(np.float32), w.imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _freq_interp_mats():
+    """(6, 72, 12) linear-interpolation matrices: RS comb at shift s ->
+    all 72 subcarriers (probing interp1, which is exactly linear)."""
+    out = np.zeros((6, 72, 12), np.float64)
+    xq = np.arange(72, dtype=np.float64)
+    for s in range(6):
+        X = np.arange(s, 72, 6, dtype=np.float64)
+        for i in range(12):
+            basis = np.zeros(12)
+            basis[i] = 1.0
+            out[s, :, i] = interp1(X, basis, xq)
+    return out.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _rs_rows(n_symb_dl: int, n_ofdm: int):
+    """Static RS row indices per port class.
+
+    Returns (rows01 (2, n_slot) for sym classes {0, n_symb_dl-3},
+    rows23 (n_slot,) for sym 1, slot_mod (n_slot,))."""
+    n_slot = n_ofdm // n_symb_dl
+    slots = np.arange(n_slot)
+    rows01 = np.stack([slots * n_symb_dl,
+                       slots * n_symb_dl + n_symb_dl - 3])
+    rows23 = slots * n_symb_dl + 1
+    return (rows01.astype(np.int32), rows23.astype(np.int32),
+            (slots % 20).astype(np.int32))
+
+
+@functools.lru_cache(maxsize=8)
+def _time_interp_mat(n_symb_dl: int, n_ofdm: int, port_class: int):
+    """(n_ofdm, n_rs) time-interpolation matrix over the static RS row
+    grid (port_class 0: ports 0/1 interleaved {0, n-3}; 1: ports 2/3)."""
+    rows01, rows23, _ = _rs_rows(n_symb_dl, n_ofdm)
+    if port_class == 0:
+        rs_set = np.sort(rows01.reshape(-1)).astype(np.float64)
+    else:
+        rs_set = rows23.astype(np.float64)
+    n_rs = len(rs_set)
+    tq = np.arange(n_ofdm, dtype=np.float64)
+    m = np.zeros((n_ofdm, n_rs), np.float64)
+    for i in range(n_rs):
+        basis = np.zeros(n_rs)
+        basis[i] = 1.0
+        m[:, i] = interp1(rs_set, basis, tq)
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _filter_mats12():
+    """Averaging matrices of the 7-point staggered-comb CE filter
+    (ops/chanest.py _filter_ce): same-row 3-tap + adjacent-row 2-tap
+    (lo: {k-1,k}; hi: {k,k+1}), with per-subcarrier tap counts."""
+    curr = np.zeros((12, 12), np.float32)
+    lo = np.zeros((12, 12), np.float32)
+    hi = np.zeros((12, 12), np.float32)
+    n_curr = np.zeros(12, np.float32)
+    n_lo = np.zeros(12, np.float32)
+    n_hi = np.zeros(12, np.float32)
+    for k in range(12):
+        for i in (k - 1, k, k + 1):
+            if 0 <= i < 12:
+                curr[k, i] = 1
+                n_curr[k] += 1
+        for i in (k - 1, k):
+            if 0 <= i < 12:
+                lo[k, i] = 1
+                n_lo[k] += 1
+        for i in (k, k + 1):
+            if 0 <= i < 12:
+                hi[k, i] = 1
+                n_hi[k] += 1
+    return curr, lo, hi, n_curr, n_lo, n_hi
+
+
+@functools.lru_cache(maxsize=8)
+def _deratematch_mat(m_bit: int):
+    """(120, m_bit) averaging matrix inverting rate matching on LLRs."""
+    idx = _index_map(40, m_bit)                       # (m_bit, 2)
+    flat = idx[:, 0] * 40 + idx[:, 1]
+    count = np.bincount(flat, minlength=120).astype(np.float64)
+    w = np.zeros((120, m_bit), np.float64)
+    w[flat, np.arange(m_bit)] = 1.0 / count[flat]
+    return w.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=1)
+def _crc16_mat():
+    """(24, 16) GF(2) generator matrix of the zero-seeded CRC16 (linear)."""
+    m = np.zeros((24, 16), np.int32)
+    for i in range(24):
+        basis = np.zeros(24, np.uint8)
+        basis[i] = 1
+        m[i] = lte_calc_crc(basis, "crc16")
+    return m
+
+
+@functools.lru_cache(maxsize=8)
+def _pbch_rows_cols(n_symb_dl: int, v_shift_m3: int):
+    """PBCH RE gather indices for frame-timing guess 0 (rows are relative
+    to the guess's grid offset). reference: src/searcher.cpp:1482-1522."""
+    sc = np.arange(72)
+    rows, cols = [], []
+    for fr in range(4):
+        for sym in range(4):
+            rs_here = (sym in (0, 1)) or (sym == 3 and n_symb_dl == 6)
+            mask = ~((sc % 3 == v_shift_m3) & rs_here)
+            sym_num = fr * 10 * 2 * n_symb_dl + n_symb_dl + sym
+            rows.append(np.full(mask.sum(), sym_num))
+            cols.append(sc[mask])
+    return (np.concatenate(rows).astype(np.int32),
+            np.concatenate(cols).astype(np.int32))
+
+
+_PORT_CFGS = (1, 2, 4)
+
+
+@functools.lru_cache(maxsize=1024)
+def _cell_tables(n_id_cell: int, cp_type: str):
+    """Per-cell constant tables (RS sequences, comb shifts, PBCH gather
+    indices, scrambler) — cached so repeated decodes of the same cell
+    (every tracker cycle; every bench rep) skip the PN regeneration."""
+    n_symb_dl = 7 if cp_type == "normal" else 6
+    m_bit = 1920 if cp_type == "normal" else 1728
+    rs_dl = RSDL(n_id_cell, 6, cp_type)
+    rs_conj = np.zeros((20, 3, 12, 2), np.float32)
+    for ci, sym in enumerate((0, 1, n_symb_dl - 3)):
+        for slot in range(20):
+            r = np.conj(rs_dl.get_rs(slot, sym))
+            rs_conj[slot, ci] = np.stack([r.real, r.imag], -1)
+    shifts = np.zeros((4, 2), np.int32)
+    for port in (0, 1):
+        shifts[port] = [int(rs_dl.get_shift(0, 0, port)),
+                        int(rs_dl.get_shift(0, n_symb_dl - 3, port))]
+    for port in (2, 3):
+        shifts[port] = [int(rs_dl.get_shift(0, 1, port)),
+                        int(rs_dl.get_shift(1, 1, port))]
+    rows, cols = _pbch_rows_cols(n_symb_dl, n_id_cell % 3)
+    scr_sign = (1.0 - 2.0 * lte_pn(n_id_cell, m_bit)).astype(np.float32)
+    return rs_conj, shifts, rows, cols, scr_sign
+
+
+@functools.lru_cache(maxsize=1)
+def _crc_masks():
+    """(3, 16) CRC xor masks per port config (1/2/4 antennas)."""
+    m = np.zeros((3, 16), np.int32)
+    m[1] = 1                      # 2 ports: all-ones mask
+    m[2, 1::2] = 1                # 4 ports: alternating
+    return m
+
+
+# ----------------------------------------------------------------------
+# Host-side plan.
+
+
+@dataclasses.dataclass
+class MibPlan:
+    """Fixed-shape arrays for one CP-type bucket (leading axis B)."""
+
+    n_symb_dl: int
+    n_ofdm: int
+    m_bit: int
+    starts: np.ndarray        # (B, n_ofdm) i32
+    phase0: np.ndarray        # (B, n_ofdm) f32 — FOC phase at each start
+    inwin: np.ndarray         # (B,) f32 — FOC phase rate per sample
+    late: np.ndarray          # (B, n_ofdm) f32
+    ts: np.ndarray            # (B, n_ofdm) f32 — fractional timestamps
+    rs_conj: np.ndarray       # (B, 20, 3, 12, 2) f32 — sym classes 0/1/n-3
+    shifts: np.ndarray        # (B, 4, 2) i32 — per port, alternating rows
+    lower_first: np.ndarray   # (B,) f32 — shift(sym0) < shift(sym n-3)
+    pbch_rows: np.ndarray     # (B, m_bit//2) i32 (guess-0 relative)
+    pbch_cols: np.ndarray     # (B, m_bit//2) i32
+    scr_sign: np.ndarray      # (B, m_bit) f32 — descrambling +/-1
+    omk_base: np.ndarray      # (B,) f32 — (fc_prog - fc_req)/fc_prog
+    inv_fcp: np.ndarray       # (B,) f32 — 1/fc_programmed
+    ok: np.ndarray            # (B,) bool — tfg fits in the capture
+    cells: list               # original Cell records (B entries, padded)
+
+
+def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
+             fc_programmed: float, fs_programmed: float,
+             bucket: bool = True,
+             cap_bases: Sequence[int] = None) -> MibPlan:
+    """Float64 symbol-timestamp plan for a batch of same-CP cells.
+
+    fc/fs are taken per cell (sweeps mix carriers); ``cap_bases`` offsets
+    every sample index into a stacked multi-capture buffer of per-capture
+    length ``n_cap``.
+    """
+    del fc_requested, fc_programmed, fs_programmed
+    if cap_bases is None:
+        cap_bases = [0] * len(cells)
+    cp_type = cells[0].cp_type
+    assert all(c.cp_type == cp_type for c in cells)
+    n_symb_dl = 7 if cp_type == "normal" else 6
+    n_ofdm = 6 * 10 * 2 * n_symb_dl + 2 * n_symb_dl
+    m_bit = 1920 if cp_type == "normal" else 1728
+
+    B = _bucket(max(1, len(cells))) if bucket else max(1, len(cells))
+    p = MibPlan(
+        n_symb_dl=n_symb_dl, n_ofdm=n_ofdm, m_bit=m_bit,
+        starts=np.zeros((B, n_ofdm), np.int32),
+        phase0=np.zeros((B, n_ofdm), np.float32),
+        inwin=np.zeros(B, np.float32),
+        late=np.zeros((B, n_ofdm), np.float32),
+        ts=np.zeros((B, n_ofdm), np.float32),
+        rs_conj=np.zeros((B, 20, 3, 12, 2), np.float32),
+        shifts=np.zeros((B, 4, 2), np.int32),
+        lower_first=np.zeros(B, np.float32),
+        pbch_rows=np.zeros((B, m_bit // 2), np.int32),
+        pbch_cols=np.zeros((B, m_bit // 2), np.int32),
+        scr_sign=np.ones((B, m_bit), np.float32),
+        omk_base=np.zeros(B, np.float32),
+        inv_fcp=np.zeros(B, np.float32),
+        ok=np.zeros(B, bool),
+        cells=list(cells) + [cells[0]] * (B - len(cells)),
+    )
+    for b, cell in enumerate(cells):
+        fc_req, fc_prog = cell.fc_requested, cell.fc_programmed
+        fs_prog = cell.fs_programmed
+        k_factor = (fc_req - cell.freq_fine) / fc_prog
+        ts = symbol_timestamps(cell, fs_prog, k_factor)
+        starts = np.round(ts).astype(np.int64)
+        if starts[-1] + 128 > n_cap or starts[0] < 0:
+            continue  # capture too short; cell fails MIB (host parity)
+        p.ok[b] = True
+        p.starts[b] = starts + cap_bases[b]
+        p.ts[b] = ts
+        p.late[b] = starts - ts
+        fs_eff = fs_prog * k_factor
+        p.phase0[b] = np.mod(-2.0 * np.pi * cell.freq_fine * starts
+                             / fs_eff, 2.0 * np.pi)
+        p.inwin[b] = -2.0 * np.pi * cell.freq_fine / fs_eff
+        p.omk_base[b] = (fc_prog - fc_req) / fc_prog
+        p.inv_fcp[b] = 1.0 / fc_prog
+
+        rs_conj, shifts, rows, colsv, scr_sign = _cell_tables(
+            cell.n_id_cell(), cp_type)
+        p.rs_conj[b] = rs_conj
+        p.shifts[b] = shifts
+        p.lower_first[b] = float(shifts[0, 0] < shifts[0, 1])
+        p.pbch_rows[b] = rows
+        p.pbch_cols[b] = colsv
+        p.scr_sign[b] = scr_sign
+    return p
+
+
+# ----------------------------------------------------------------------
+# Device program pieces.
+
+
+def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm):
+    """Batched 4-port channel estimation (freq_time interpolator).
+
+    tfg: (B, n_ofdm, 72, 2). Returns (ce (B, 4, n_ofdm, 72, 2),
+    np_v (B, 4))."""
+    rows01, rows23, slot_mod = (jnp.asarray(a) for a in
+                                _rs_rows(n_symb_dl, n_ofdm))
+    n_slot = rows23.shape[0]
+    curr, lo, hi, n_curr, n_lo, n_hi = (jnp.asarray(a) for a in
+                                        _filter_mats12())
+    fmats = jnp.asarray(_freq_interp_mats())              # (6, 72, 12)
+    tmat01 = jnp.asarray(_time_interp_mat(n_symb_dl, n_ofdm, 0))
+    tmat23 = jnp.asarray(_time_interp_mat(n_symb_dl, n_ofdm, 1))
+
+    def comb_extract(rows, shift, sym_class):
+        """rows (R,), shift (B,), sym_class scalar -> raw CE (B, R, 12, 2)."""
+        got = tfg[:, rows]                                # (B, R, 72, 2)
+        cols = shift[:, None, None] + 6 * jnp.arange(12, dtype=jnp.int32)[
+            None, None, :]                                # (B, 1, 12)
+        cols = jnp.broadcast_to(cols, (tfg.shape[0], rows.shape[0], 12))
+        vals = jnp.take_along_axis(got, cols[..., None], axis=2)
+        rsc = rs_conj[:, :, sym_class][:, slot_mod[:rows.shape[0]]]
+        return _cmul(vals, rsc)
+
+    def filter_rows(ce_raw, parity_lower):
+        """ce_raw (B, R, 12, 2); parity_lower (B, R) 1.0 where the row's
+        adjacent-row taps are {k-1, k} (lo) — i.e. current row leftmost."""
+        def rowmat(x, m):
+            return jnp.stack([x[..., 0] @ m.T, x[..., 1] @ m.T], -1)
+
+        prev = jnp.pad(ce_raw[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        nxt = jnp.pad(ce_raw[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+        adj = prev + nxt
+        r = ce_raw.shape[1]
+        n_adj = (jnp.arange(r) > 0).astype(ce_raw.dtype) + \
+                (jnp.arange(r) < r - 1).astype(ce_raw.dtype)   # (R,)
+        pl = parity_lower[..., None, None]
+        tot = rowmat(ce_raw, curr) + jnp.where(
+            pl > 0, rowmat(adj, lo), rowmat(adj, hi))
+        cnt = n_curr[None, None] + n_adj[None, :, None] * jnp.where(
+            parity_lower[..., None] > 0, n_lo[None, None], n_hi[None, None])
+        return tot / cnt[..., None]
+
+    B = tfg.shape[0]
+    ce_out = []
+    np_out = []
+    for port in range(4):
+        if port <= 1:
+            raw_a = comb_extract(rows01[0], shifts[:, port, 0], 0)
+            raw_b = comb_extract(rows01[1], shifts[:, port, 1], 2)
+            ce_raw = jnp.stack([raw_a, raw_b], axis=2).reshape(
+                B, 2 * n_slot, 12, 2)                      # interleaved
+            # Row parity: row t uses lo-taps when its shift is below the
+            # adjacent rows' (chanest.py: current_row_leftmost alternates
+            # starting from shift[0] < shift[1]).
+            par = jnp.arange(2 * n_slot) % 2
+            low0 = (shifts[:, port, 0] < shifts[:, port, 1])
+            parity_lower = jnp.where(par[None, :] == 0, low0[:, None],
+                                     ~low0[:, None]).astype(tfg.dtype)
+            rs_set_interleaved = True
+        else:
+            # shift alternates with slot parity
+            sh = jnp.where((jnp.arange(n_slot) % 2)[None, :] == 0,
+                           shifts[:, port, 0][:, None],
+                           shifts[:, port, 1][:, None])    # (B, n_slot)
+            got = tfg[:, rows23]
+            cols = sh[..., None] + 6 * jnp.arange(12, dtype=jnp.int32)
+            vals = jnp.take_along_axis(got, cols[..., None], axis=2)
+            rsc = rs_conj[:, :, 1][:, slot_mod]
+            ce_raw = _cmul(vals, rsc)
+            par = jnp.arange(n_slot) % 2
+            low0 = (shifts[:, port, 0] < shifts[:, port, 1])
+            parity_lower = jnp.where(par[None, :] == 0, low0[:, None],
+                                     ~low0[:, None]).astype(tfg.dtype)
+            rs_set_interleaved = False
+
+        ce_filt = filter_rows(ce_raw, parity_lower)
+        np_est = jnp.mean(_cabs2(ce_filt - ce_raw), axis=(1, 2))
+
+        # Frequency interpolation: per-row comb shift -> 72 subcarriers.
+        if port <= 1:
+            sh_rows = jnp.where(par[None, :] == 0,
+                                shifts[:, port, 0][:, None],
+                                shifts[:, port, 1][:, None])
+        else:
+            sh_rows = sh
+        m_rows = fmats[sh_rows]                            # (B, R, 72, 12)
+        ce_frq = jnp.einsum("brki,brip->brkp", m_rows, ce_filt)
+
+        tmat = tmat01 if rs_set_interleaved else tmat23
+        ce_tfg = jnp.einsum("tr,brkp->btkp", tmat, ce_frq)
+        ce_out.append(ce_tfg)
+        np_out.append(np_est)
+    return jnp.stack(ce_out, axis=1), jnp.stack(np_out, axis=1)
+
+
+def _sfbc_dev(pbch_sym, pbch_ce, np_v):
+    """All three port configs at once.
+
+    pbch_sym (B, G, n, 2); pbch_ce (B, 4, G, n, 2); np_v (B, 4).
+    Returns (syms (B, G, 3, n, 2), np_out (B, G, 3, n))."""
+    B, G, n, _ = pbch_sym.shape
+    # ---- 1 port: MRC.
+    h = jnp.moveaxis(pbch_ce, 1, 2)                       # (B, G, 4, n, 2)
+    h0 = h[:, :, 0]
+    mag0 = _cabs2(h0)
+    gain = _cconj(h0) / mag0[..., None]
+    s1p = _cmul(pbch_sym, gain)
+    np1p = np_v[:, 0][:, None, None] * _cabs2(gain)
+
+    # ---- 2/4 ports: Alamouti pairs.
+    x1 = pbch_sym[:, :, 0::2]
+    x2 = pbch_sym[:, :, 1::2]
+    havg = 0.5 * (h[:, :, :, 0::2] + h[:, :, :, 1::2])    # (B, G, 4, n/2, 2)
+    pairs = n // 2
+    use_a = ((jnp.arange(pairs) % 2) == 0)[None, None, :, None]
+
+    def alamouti(h1, h2, np_pair):
+        scale = _cabs2(h1) + _cabs2(h2)
+        s1 = (_cmul(_cconj(h1), x1) + _cmul(h2, _cconj(x2))) \
+            / scale[..., None]
+        s2 = _cconj((_cmul(_cconj(h2), -x1) + _cmul(h1, _cconj(x2)))
+                    / scale[..., None])
+        np_o = (_cabs2(h1) / scale ** 2 + _cabs2(h2) / scale ** 2) * np_pair
+        syms = jnp.stack([s1, s2], axis=3).reshape(x1.shape[0], G, n, 2)
+        syms = syms * np.sqrt(2.0).astype(np.float32)
+        np_out = jnp.repeat(np_o, 2, axis=-1)
+        return syms, np_out
+
+    np2 = jnp.mean(np_v[:, :2], axis=1)[:, None, None]
+    s2p, np2p = alamouti(havg[:, :, 0], havg[:, :, 1],
+                         jnp.broadcast_to(np2, (B, G, pairs)))
+
+    h1_4 = jnp.where(use_a, havg[:, :, 0], havg[:, :, 1])
+    h2_4 = jnp.where(use_a, havg[:, :, 2], havg[:, :, 3])
+    np4 = jnp.where(use_a[..., 0],
+                    0.5 * (np_v[:, 0] + np_v[:, 2])[:, None, None],
+                    0.5 * (np_v[:, 1] + np_v[:, 3])[:, None, None])
+    s4p, np4p = alamouti(h1_4, h2_4, np4)
+
+    syms = jnp.stack([s1p, s2p, s4p], axis=2)
+    np_out = jnp.stack([np1p, np2p, np4p], axis=2)
+    return syms, np_out
+
+
+def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
+    """Compile-cached device program for one CP geometry."""
+
+    cn = jnp.asarray(CN.astype(np.float32))
+    wr, wi = (jnp.asarray(m) for m in _dft72())
+    wd = jnp.asarray(_deratematch_mat(m_bit))
+    crc_m = jnp.asarray(_crc16_mat())
+    crc_masks = jnp.asarray(_crc_masks())
+    n_slot = n_ofdm // n_symb_dl
+    guess_stride = 10 * 2 * n_symb_dl
+
+    def rot_pair(ang):
+        return jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)
+
+    @jax.jit
+    def run(cap, starts, phase0, inwin, late, ts, rs_conj, shifts,
+            lower_first, pbch_rows, pbch_cols, scr_sign, omk_base,
+            inv_fcp):
+        # ---- extract_tfg.
+        idx = starts[..., None] + jnp.arange(128, dtype=jnp.int32)
+        wins = cap[idx]                                  # (B, S, 128, 2)
+        t128 = jnp.arange(128, dtype=cap.dtype)
+        ang = phase0[..., None] + inwin[:, None, None] * t128
+        x = _cmul(wins, rot_pair(ang))
+        yr = x[..., 0] @ wr - x[..., 1] @ wi
+        yi = x[..., 0] @ wi + x[..., 1] @ wr
+        tfg = jnp.stack([yr, yi], -1)                    # (B, S, 72, 2)
+        tfg = _cmul(tfg, rot_pair(
+            -2.0 * jnp.pi * late[..., None] * cn / 128.0))
+
+        rows01, rows23, slot_mod = (jnp.asarray(a) for a in
+                                    _rs_rows(n_symb_dl, n_ofdm))
+
+        def rs_comp_rows(grid, sym_class, class_idx, shift):
+            """grid rows of one RS sym class, comb-extracted and
+            RS-compensated. shift (B,) -> (B, n_slot, 12, 2)."""
+            rows = rows01[class_idx]
+            got = grid[:, rows]
+            cols = shift[:, None, None] + 6 * jnp.arange(
+                12, dtype=jnp.int32)[None, None, :]
+            cols = jnp.broadcast_to(cols,
+                                    (grid.shape[0], rows.shape[0], 12))
+            vals = jnp.take_along_axis(got, cols[..., None], axis=2)
+            return _cmul(vals, rs_conj[:, :, sym_class][:, slot_mod])
+
+        # ---- tfoec: superfine FOE on the raw grid.
+        foe = 0.0
+        for class_idx, sym_class in ((0, 0), (1, 2)):
+            rc = rs_comp_rows(tfg, sym_class, class_idx,
+                              shifts[:, 0, class_idx])
+            foe = foe + jnp.sum(_cmul(_cconj(rc[:, :-1]), rc[:, 1:]),
+                                axis=(1, 2))             # (B, 2)
+        residual_f = jnp.arctan2(foe[:, 1], foe[:, 0]) / (
+            2.0 * jnp.pi) / 0.0005                       # (B,)
+
+        # ---- FOC: bulk rotation + timestamp rescale.
+        omk = omk_base + residual_f * inv_fcp            # 1 - k_residual
+        late2 = ts * omk[:, None]
+        ts_comp = ts - late2
+        rot = rot_pair(-2.0 * jnp.pi * residual_f[:, None] * ts_comp
+                       / np.float32(FS_LTE / 16))
+        tfg_c = _cmul(tfg, rot[:, :, None, :])
+        tfg_c = _cmul(tfg_c, rot_pair(
+            -2.0 * jnp.pi * late2[..., None] * cn / 128.0))
+
+        # ---- TOE on the compensated grid.
+        rc0 = rs_comp_rows(tfg_c, 0, 0, shifts[:, 0, 0])
+        rc1 = rs_comp_rows(tfg_c, 2, 1, shifts[:, 0, 1])
+        rows_i = jnp.stack([rc0, rc1], axis=2).reshape(
+            tfg.shape[0], 2 * n_slot, 12, 2)
+        a = rows_i[:, :-1]
+        b = rows_i[:, 1:]
+        par = (jnp.arange(2 * n_slot - 1) % 2)[None, :, None, None]
+        cond = jnp.where(par == 0, lower_first[:, None, None, None],
+                         1.0 - lower_first[:, None, None, None])
+        r1 = jnp.where(cond > 0, a, b)
+        r2 = jnp.where(cond > 0, b, a)
+        toe = jnp.sum(_cmul(_cconj(r1), r2), axis=(1, 2))
+        toe = toe + jnp.sum(_cmul(_cconj(r2[:, :, 0:11]), r1[:, :, 1:12]),
+                            axis=(1, 2))
+        delay = -jnp.arctan2(toe[:, 1], toe[:, 0]) / 3.0 / (
+            2.0 * jnp.pi / 128.0)
+
+        # ---- TOC.
+        toc_rot = rot_pair(2.0 * jnp.pi / 128.0 * delay[:, None]
+                           * cn[None, :])                # (B, 72, 2)
+        tfg_c = _cmul(tfg_c, toc_rot[:, None])
+
+        # ---- channel estimation, 4 ports.
+        ce, np_v = _chan_est_dev(tfg_c, rs_conj, shifts, n_symb_dl, n_ofdm)
+
+        # ---- PBCH extraction for the 4 frame-timing guesses.
+        offs = jnp.arange(4, dtype=jnp.int32) * guess_stride
+        rows_g = pbch_rows[:, None, :] + offs[None, :, None]  # (B, 4, n)
+        bb = jnp.arange(tfg.shape[0])[:, None, None]
+        colb = pbch_cols[:, None, :]
+        pbch_sym = tfg_c[bb, rows_g, colb]               # (B, 4, n, 2)
+        pbch_ce = ce[bb[..., None], jnp.arange(4)[None, None, :, None],
+                     rows_g[:, :, None, :], colb[:, :, None, :]]
+        pbch_ce = jnp.moveaxis(pbch_ce, 2, 1)            # (B, 4p, 4g, n, 2)
+
+        # ---- SFBC + QPSK LLR + descramble + deratematch.
+        syms, np_sym = _sfbc_dev(pbch_sym, pbch_ce, np_v)
+        np_sym = jnp.maximum(np_sym, 1e-30)
+        llr = jnp.stack([
+            2.0 * np.sqrt(2.0).astype(np.float32) * syms[..., 0] / np_sym,
+            2.0 * np.sqrt(2.0).astype(np.float32) * syms[..., 1] / np_sym,
+        ], -1).reshape(syms.shape[0], 4, 3, m_bit)
+        llr = llr * scr_sign[:, None, None, :]
+        d_llr = jnp.einsum("ce,bgpe->bgpc", wd, llr).reshape(
+            llr.shape[0], 4, 3, 3, 40)
+
+        # ---- tail-biting Viterbi (batched) + CRC16 with port masks.
+        flat = d_llr.reshape(-1, 3, 40)
+        bits = jax.vmap(_decode_one)(flat.astype(jnp.float32))
+        bits = bits.reshape(llr.shape[0], 4, 3, 40)
+        crc_est = (bits[..., :24] @ crc_m) % 2           # (B, 4, 3, 16)
+        crc_est = crc_est ^ crc_masks[None, None, :, :]
+        ok = jnp.all(crc_est == bits[..., 24:40], axis=-1)  # (B, 4, 3)
+
+        return {"bits": bits, "ok": ok, "residual_f": residual_f,
+                "delay": delay, "np_v": np_v}
+
+    return run
+
+
+@functools.lru_cache(maxsize=4)
+def _mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
+    return _build_mib_device(n_symb_dl, n_ofdm, m_bit)
+
+
+# ----------------------------------------------------------------------
+# Host wrapper.
+
+
+def _unpack_mib_host(cell: Cell, bits: np.ndarray, n_ports: int,
+                     guess: int) -> Cell:
+    out = dataclasses.replace(cell)
+    out.n_ports = n_ports
+    bw = int(bits[0]) * 4 + int(bits[1]) * 2 + int(bits[2])
+    out.n_rb_dl = N_RB_DL_TABLE.get(bw, -1)
+    out.phich_duration = "extended" if bits[3] else "normal"
+    out.phich_resource = PHICH_RES_TABLE[int(bits[4]) * 2 + int(bits[5])]
+    sfn_high = 0
+    for v in bits[6:14]:
+        sfn_high = 2 * sfn_high + int(v)
+    out.sfn = int(np.mod(sfn_high * 4 - guess, 1024))
+    return out
+
+
+def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
+                     fc_programmed: float, fs_programmed: float,
+                     cap_dev=None, n_cap: int = None,
+                     cap_bases: Sequence[int] = None) -> List[Cell]:
+    """Device-batched extract_tfg + tfoec + chan_est + blind MIB decode.
+
+    ``cells`` must share one cp_type (bucket by CP before calling).
+    ``cap_dev``/``n_cap``/``cap_bases`` as in sync_jax.sss_foe_batch.
+    Returns updated Cell records; failures keep n_rb_dl == -1.
+    """
+    if not cells:
+        return []
+    if cap_dev is None:
+        capbuf = np.asarray(capbuf)
+        cap_dev = jnp.asarray(
+            np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
+        n_cap = len(capbuf)
+    elif n_cap is None:
+        n_cap = cap_dev.shape[0]
+    plan = mib_plan(cells, n_cap, fc_requested, fc_programmed,
+                    fs_programmed, cap_bases=cap_bases)
+    run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit)
+    out = run(cap_dev, plan.starts, plan.phase0, plan.inwin, plan.late,
+              plan.ts, plan.rs_conj, plan.shifts, plan.lower_first,
+              plan.pbch_rows, plan.pbch_cols, plan.scr_sign,
+              plan.omk_base, plan.inv_fcp)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    res: List[Cell] = []
+    for b, cell in enumerate(cells):
+        c = dataclasses.replace(cell)
+        if plan.ok[b]:
+            c.freq_superfine = c.freq_fine + float(out["residual_f"][b])
+            done = False
+            for guess in range(4):
+                for pi, n_ports in enumerate(_PORT_CFGS):
+                    if out["ok"][b, guess, pi]:
+                        c = _unpack_mib_host(c, out["bits"][b, guess, pi],
+                                             n_ports, guess)
+                        done = True
+                        break
+                if done:
+                    break
+        res.append(c)
+    return res

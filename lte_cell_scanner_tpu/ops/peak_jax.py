@@ -103,7 +103,13 @@ def peak_search_device(packed: jnp.ndarray, single: jnp.ndarray,
 
     out0 = jnp.zeros((max_peaks, 4), jnp.float32)
     state = (pow0.astype(jnp.float32), out0, jnp.int32(0), jnp.bool_(False))
-    _, out, _, _ = jax.lax.fori_loop(0, max_peaks, body, state)
+    # Early-exit loop: a typical capture yields a handful of peaks, so
+    # running the full max_peaks trips (each a sequential argmax over the
+    # 3x9600 table) would dominate the device program; the while_loop
+    # stops at the first below-threshold extraction.
+    _, out, count, done = jax.lax.while_loop(
+        lambda s: jnp.logical_and(jnp.logical_not(s[3]), s[2] < max_peaks),
+        lambda s: body(None, s), state)
     return out
 
 

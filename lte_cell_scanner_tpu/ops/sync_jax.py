@@ -45,10 +45,13 @@ N_REP = 16   # max PSS repetitions in an 80 ms capture (ceil(153600/9600))
 N_SSS = 16   # max PSS/SSS pairs available to the fine FOE
 
 
-def _bucket(n: int, lo: int = 1) -> int:
+def _bucket(n: int, lo: int = 4) -> int:
+    """Coarse (x4) batch buckets: every distinct bucket costs a fresh jit
+    compile (minutes through a tunneled chip), and padded decode rows are
+    cheap, so few-and-large beats snug."""
     b = lo
     while b < n:
-        b = b * 2 if b < 4 else int(b * 1.5 + 0.999)
+        b *= 4
     return b
 
 
@@ -116,13 +119,21 @@ class SyncPlan:
 
 def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
               fc_programmed: float, fs_programmed: float,
-              bucket: bool = True) -> SyncPlan:
+              bucket: bool = True,
+              cap_bases: Sequence[int] = None) -> SyncPlan:
     """Float64 window-location plan for a batch of candidate peaks.
 
     Mirrors the index arithmetic of ops/sync.py `_getce_sss` /
     `sss_detect` / `pss_sss_foe` exactly (native mode).
+
+    ``cap_bases`` (per cell) offsets every window index into a stacked
+    multi-capture buffer of per-capture length ``n_cap`` — this is how a
+    whole fc sweep's candidates run in ONE dispatch.
     """
     B = _bucket(max(1, len(cells))) if bucket else max(1, len(cells))
+    if cap_bases is None:
+        cap_bases = [0] * len(cells)
+    del fc_requested, fc_programmed, fs_programmed  # per-cell (sweeps mix fcs)
     p = SyncPlan(
         pss_idx=np.zeros((B, N_REP), np.int32),
         rep_mask=np.zeros((B, N_REP), np.float32),
@@ -140,9 +151,11 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         valid=np.zeros(B, bool),
     )
     for b, cell in enumerate(cells):
-        k_factor = (fc_requested - cell.freq) / fc_programmed
-        fs_eff = fs_programmed * k_factor
-        u = 16.0 / FS_LTE * fs_programmed * k_factor
+        fc_req, fc_prog = cell.fc_requested, cell.fc_programmed
+        fs_prog = cell.fs_programmed
+        k_factor = (fc_req - cell.freq) / fc_prog
+        fs_eff = fs_prog * k_factor
+        u = 16.0 / FS_LTE * fs_prog * k_factor
         peak_loc = float(cell.ind)
         if peak_loc + 9 < 162:
             peak_loc += HALF_FRAME * k_factor
@@ -153,7 +166,7 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         locs = np.round(pss_loc_set).astype(np.int64) + 9 - 2
         locs = locs[locs + 128 <= n_cap]
         n_rep = min(len(locs), N_REP)
-        p.pss_idx[b, :n_rep] = locs[:n_rep]
+        p.pss_idx[b, :n_rep] = locs[:n_rep] + cap_bases[b]
         p.rep_mask[b, :n_rep] = 1.0
         p.foc[b] = -cell.freq
         p.inv_fs[b] = 1.0 / fs_eff
@@ -193,8 +206,8 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
                                        n_cap - 127 - dist - 100)
                 n_sss = min(len(loc_set), N_SSS)
                 sss_locs = np.round(loc_set[:n_sss]).astype(np.int64)
-                p.foe_sss[b, oi, ci, :n_sss] = sss_locs
-                p.foe_pss[b, oi, ci, :n_sss] = sss_locs + dist
+                p.foe_sss[b, oi, ci, :n_sss] = sss_locs + cap_bases[b]
+                p.foe_pss[b, oi, ci, :n_sss] = sss_locs + dist + cap_bases[b]
                 p.foe_mask[b, oi, ci, :n_sss] = 1.0
                 sn = np.where((np.arange(n_sss) % 2) == 0, sn0, 10 - sn0)
                 p.foe_seq[b, oi, ci, :n_sss] = (sn != 0).astype(np.int32)
@@ -368,23 +381,29 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
 
 def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
                   fc_programmed: float, fs_programmed: float,
-                  thresh2_n_sigma: float, cap_dev=None) -> List[Cell]:
+                  thresh2_n_sigma: float, cap_dev=None, n_cap: int = None,
+                  cap_bases: Sequence[int] = None) -> List[Cell]:
     """Run SSS detection + fine FOE for every candidate peak on device.
 
     ``cap_dev`` may pass an already-device-resident (n_cap, 2) float32
-    capture (re/im planes) to avoid re-uploading. Returns new Cell
-    records: detected peaks carry n_id_1/cp_type/frame_start/freq_fine,
-    rejected ones n_id_1 == -1 (same contract as ops.sync.sss_detect +
-    pss_sss_foe).
+    capture (re/im planes) to avoid re-uploading; with ``cap_bases`` it
+    may hold a whole fc sweep's captures stacked along the sample axis
+    (per-capture length ``n_cap``), so every candidate of the sweep runs
+    in one dispatch. Returns new Cell records: detected peaks carry
+    n_id_1/cp_type/frame_start/freq_fine, rejected ones n_id_1 == -1
+    (same contract as ops.sync.sss_detect + pss_sss_foe).
     """
     if not cells:
         return []
-    capbuf = np.asarray(capbuf)
     if cap_dev is None:
+        capbuf = np.asarray(capbuf)
         cap_dev = jnp.asarray(
             np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
-    plan = sync_plan(cells, len(capbuf), fc_requested, fc_programmed,
-                     fs_programmed)
+        n_cap = len(capbuf)
+    elif n_cap is None:
+        n_cap = cap_dev.shape[0]
+    plan = sync_plan(cells, n_cap, fc_requested, fc_programmed,
+                     fs_programmed, cap_bases=cap_bases)
     out = _sync_device(cap_dev, plan.pss_idx, plan.rep_mask, plan.foc,
                        plan.inv_fs, plan.n_id_2, plan.foe_pss,
                        plan.foe_sss, plan.foe_mask, plan.foe_seq,

@@ -5,7 +5,7 @@ The XLA path (ops/xcorr_jax.py) materializes the im2col window matrix
 and its magnitude in HBM — ~1 GB of HBM traffic per capture that dominates
 its runtime. This kernel keeps everything in VMEM: the whole 80 ms capture
 is only 1.2 MB, so each grid step slices its correlation window directly
-from the VMEM-resident capture, runs the (2*n_ch, 274) template bank
+from the VMEM-resident capture, runs the (2*n_ch, 2*WIN_ROWS) template bank
 against it on the MXU, squares, and accumulates the per-hypothesis
 k_factor-shifted half-frame fold in place. HBM traffic drops to
 read-capture + write-fold (~5 MB); the intermediate correlation never
@@ -34,10 +34,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lte_cell_scanner_tpu.constants import HALF_FRAME, PSS_TD_LEN
 
-DEFAULT_TILE = 1920  # divides HALF_FRAME; W=tile+2*halo keeps VMEM < 16 MB
+DEFAULT_TILE = 3200  # divides HALF_FRAME; W=tile+2*halo keeps VMEM < 16 MB
+                     # (measured ~15% faster than 1920 on v5e: fewer grid
+                     # steps amortize the per-step roll/accumulate work;
+                     # 4800 overflows VMEM)
+
+# Sublane-aligned window-matrix height: the 137 template taps live in a
+# (144, w) block built by ONE strided roll per plane (see _kernel).
+WIN_ROWS = 144
+# Lane width of the roll input must be 128-aligned for Mosaic's strided
+# dynamic_rotate; 256 >= WIN_ROWS-1 extra lanes keep every row's slice
+# in-bounds.
+WIN_PAD = 256
 
 
-def _kernel(bases_ref, offs_ref, cap_ref, tpl_ref, acc_ref, win_ref,
+def _kernel(bases_ref, offs_ref, cap_ref, tpl_ref, acc_ref,
             mag_ref, upd_ref, *, n_f, tile, halo, n_tile):
     """One (tile, fold) step. See module docstring.
 
@@ -45,11 +56,13 @@ def _kernel(bases_ref, offs_ref, cap_ref, tpl_ref, acc_ref, win_ref,
     offs_ref:  (n_f, n_prog) i32 SMEM — per-hypothesis slice offset into
                the halo'd magnitude tile (= fold misalignment d + halo).
     cap_ref:   (2, n_cap) f32 VMEM — re/im planes of the capture.
-    tpl_ref:   (2*n_ch, 2*PSS_TD_LEN) f32 VMEM — real-block template bank
-               [[re, -im], [im, re]] of the 3*n_f shifted PSS templates.
+    tpl_ref:   (2*n_ch, 2*WIN_ROWS) f32 VMEM — real-block template bank
+               [[re, -im], [im, re]] of the 3*n_f shifted PSS templates,
+               columns permuted to the roll-built window row order
+               (shift j lives in row WIN_ROWS-1-j; rows for j > 136 are
+               zero padding).
     acc_ref:   (n_ch, HALF_FRAME) f32 VMEM — fold accumulator (revisited
                across the fold axis; divided by n_comb_xc by the caller).
-    win_ref:   (2*PSS_TD_LEN, w) f32 VMEM scratch — im2col window matrix.
     mag_ref:   (n_ch, w) f32 VMEM scratch — |xc|^2 of the halo'd tile.
     upd_ref:   (n_ch, tile) f32 VMEM scratch — hypothesis-aligned update.
     """
@@ -60,13 +73,20 @@ def _kernel(bases_ref, offs_ref, cap_ref, tpl_ref, acc_ref, win_ref,
     w = tile + 2 * halo
 
     base = pl.multiple_of(bases_ref[prog], 128)
-    local = cap_ref[:, pl.ds(base, w + PSS_TD_LEN - 1)]      # (2, w+136)
-    # im2col into scratch: 137 static shifts of each plane (row stores —
-    # Mosaic can't concatenate this many vectors into one value).
-    for p in (0, 1):
-        for j in range(PSS_TD_LEN):
-            win_ref[p * PSS_TD_LEN + j, :] = local[p, j:j + w]
-    xc = jnp.dot(tpl_ref[:], win_ref[:, :],
+    local = cap_ref[:, pl.ds(base, w + WIN_PAD)]             # (2, w+256)
+
+    # im2col without the 274-row copy loop: broadcast each plane across
+    # WIN_ROWS sublanes and apply ONE strided cyclic roll — row r ends up
+    # left-shifted by (WIN_ROWS-1-r), i.e. row r = x[WIN_ROWS-1-r : +w].
+    # (pltpu.roll requires non-negative shift/stride, hence the reversed
+    # row order, which the host bakes into the template permutation; the
+    # roll's lane width must stay 128-aligned, hence WIN_PAD.)
+    def win(p):
+        b = jnp.broadcast_to(local[p][None, :], (WIN_ROWS, w + WIN_PAD))
+        return pltpu.roll(b, w + WIN_PAD - (WIN_ROWS - 1), axis=1,
+                          stride=1, stride_axis=0)[:, :w]
+
+    xc = jnp.dot(tpl_ref[:], jnp.concatenate([win(0), win(1)], axis=0),
                  preferred_element_type=jnp.float32)
     mag_ref[:, :] = xc[:n_ch] ** 2 + xc[n_ch:] ** 2           # (n_ch, w)
 
@@ -119,7 +139,7 @@ def plan_tiles(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE,
     # point at real samples, so the padding never reaches a result).
     bases = np.maximum(bases, 0)
     bases = (bases // 128) * 128
-    pad_len = int(bases.max()) + w + PSS_TD_LEN - 1
+    pad_len = int(bases.max()) + w + WIN_PAD
     # offs[f, m, t]: hypothesis f's tile start inside the window.
     offs = (starts[:, :, None] + t_idx[None] * tile - bases[None])
     assert (offs >= 0).all() and (offs + tile <= w).all(), \
@@ -138,7 +158,7 @@ def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
                       interpret=False):
     """Fused correlation + incoherent fold.
 
-    cap2: (2, n_cap) f32. tpl_bank: (2*n_ch, 274) f32. bases/offs from
+    cap2: (2, n_cap) f32. tpl_bank: (2*n_ch, 2*WIN_ROWS) f32. bases/offs
     plan_tiles. Returns single: (3, HALF_FRAME, n_f) f32 — the same
     xc_incoherent_single as ops.xcorr_jax._fold.
     """
@@ -159,7 +179,6 @@ def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
                 (n_ch, HALF_FRAME), lambda t, m, *_: (0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2 * PSS_TD_LEN, tile + 2 * halo), jnp.float32),
                 pltpu.VMEM((n_ch, tile + 2 * halo), jnp.float32),
                 pltpu.VMEM((n_ch, tile), jnp.float32),
             ],
@@ -167,7 +186,7 @@ def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
         out_shape=jax.ShapeDtypeStruct((n_ch, HALF_FRAME), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n_ch * 2 * PSS_TD_LEN * (tile + 2 * halo)
+            flops=2 * 2 * n_ch * 2 * WIN_ROWS * (tile + 2 * halo)
             * n_tile * n_comb_xc,
             bytes_accessed=4 * (2 * cap2.shape[1] + n_ch * HALF_FRAME),
             transcendentals=0,
@@ -233,8 +252,14 @@ def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
                               fc_programmed, fs_programmed)
     tpl = shifted_templates(f_search_set, fc_requested, fc_programmed,
                             fs_programmed).reshape(-1, PSS_TD_LEN)
-    bank = np.block([[tpl.real, -tpl.imag],
-                     [tpl.imag, tpl.real]]).astype(np.float32)
+    # Bank columns permuted to the kernel's roll-built window order:
+    # template shift j sits in window row WIN_ROWS-1-j (rows j > 136 are
+    # zero padding that multiplies the roll's junk rows away).
+    re = np.zeros((tpl.shape[0], WIN_ROWS), tpl.real.dtype)
+    im = np.zeros_like(re)
+    re[:, WIN_ROWS - 1 - np.arange(PSS_TD_LEN)] = tpl.real
+    im[:, WIN_ROWS - 1 - np.arange(PSS_TD_LEN)] = tpl.imag
+    bank = np.block([[re, -im], [im, re]]).astype(np.float32)
     starts = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
                                 fc_programmed, fs_programmed)
     bases, offs, halo, n_tile, pad_len = plan_tiles(capbuf_len, starts,

@@ -114,3 +114,60 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                 fs_programmed)
         out.append(cells)
     return out
+
+
+def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
+                         f_search_set: np.ndarray, mesh: Mesh,
+                         fs_programmed: float = 1.92e6,
+                         thresh2_n_sigma: float = None,
+                         dedup_cells: bool = True):
+    """Full cell search of a whole fc sweep: DP-sharded scan + batched
+    device decode of EVERY candidate in the sweep.
+
+    The scan runs data-parallel over the ``cap`` mesh axis
+    (sharded_fc_sweep); all surviving candidates across all captures are
+    then decoded in two fixed-shape device dispatches (sync + MIB) over a
+    single stacked capture buffer — the per-candidate chain never touches
+    host NumPy. Returns (cells_per_capture, deduped) where ``deduped``
+    merges across the sweep like src/CellSearch.cpp:285-319.
+    """
+    from lte_cell_scanner_tpu.constants import THRESH2_N_SIGMA
+    from lte_cell_scanner_tpu.ops.mib_jax import decode_mib_batch
+    from lte_cell_scanner_tpu.ops.sync_jax import sss_foe_batch
+    from lte_cell_scanner_tpu.search.cell_search import dedup
+
+    if thresh2_n_sigma is None:
+        thresh2_n_sigma = THRESH2_N_SIGMA
+    capbufs = np.asarray(capbufs)
+    B, n_cap = capbufs.shape
+    peaks = sharded_fc_sweep(capbufs, fc_list, f_search_set, mesh,
+                             fs_programmed)
+
+    # One flattened capture stack; every candidate carries its base.
+    flat = np.stack([capbufs.real, capbufs.imag], -1).astype(np.float32)
+    cap_dev = jnp.asarray(flat.reshape(B * n_cap, 2))
+    all_cells, bases = [], []
+    for b in range(B):
+        for c in peaks[b]:
+            all_cells.append(c)
+            bases.append(b * n_cap)
+    synced = sss_foe_batch(all_cells, None, 0.0, 0.0, fs_programmed,
+                           thresh2_n_sigma, cap_dev=cap_dev, n_cap=n_cap,
+                           cap_bases=bases)
+    alive = [(c, base) for c, base in zip(synced, bases) if c.n_id_1 >= 0]
+    decoded = []
+    for cp in ("normal", "extended"):
+        group = [(c, base) for c, base in alive if c.cp_type == cp]
+        if not group:
+            continue
+        res = decode_mib_batch([c for c, _ in group], None, 0.0, 0.0,
+                               fs_programmed, cap_dev=cap_dev, n_cap=n_cap,
+                               cap_bases=[base for _, base in group])
+        decoded.extend(res)
+    good = [c for c in decoded if c.n_rb_dl >= 0]
+
+    per_cap: List[List[Cell]] = [[] for _ in range(B)]
+    fc_of = {float(fc): i for i, fc in enumerate(fc_list)}
+    for c in good:
+        per_cap[fc_of[float(c.fc_requested)]].append(c)
+    return per_cap, (dedup(good) if dedup_cells else good)

@@ -28,8 +28,8 @@ with compute; the projected 2-host efficiency is
 but the fc sweep (the production workload) shards CAPTURES across hosts
 with zero cross-host traffic, so sweep throughput scales at ~1.0 and the
 single-capture-latency mesh only spans hosts when one capture must finish
-fastest. measure_scaling() below reports the measured equivalent on the
-CPU dryrun topology.
+fastest. The dryrun prints each process's distributed wall-clock so the
+CPU-topology equivalent of this projection is visible per run.
 """
 
 from __future__ import annotations

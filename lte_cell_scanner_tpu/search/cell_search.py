@@ -126,6 +126,48 @@ def cell_search(
     if verbose:
         print(f"  {len(peaks)} candidate peak(s)")
 
+    if backend == "jax":
+        # Full-device decode: the whole per-peak chain (SSS detect, fine
+        # FOE, TFG extraction, TFOEC, 4-port channel estimation, blind
+        # MIB decode with batched Viterbi) runs as two fixed-shape device
+        # programs over ALL candidates at once; the host only does the
+        # float64 window planning and the final MIB unpack. The device
+        # channel estimator uses the freq_time interpolator (documented
+        # equivalent, src/searcher.cpp:1472-1475) regardless of
+        # ``interp``, which only selects the host path's interpolator.
+        import jax.numpy as jnp
+
+        from lte_cell_scanner_tpu.ops.mib_jax import decode_mib_batch
+        from lte_cell_scanner_tpu.ops.sync_jax import sss_foe_batch
+
+        cap_dev = jnp.asarray(np.stack(
+            [capbuf.real, capbuf.imag], -1).astype(np.float32))
+        synced = sss_foe_batch(peaks, capbuf, fc_requested, fc_programmed,
+                               fs_programmed, thresh2_n_sigma,
+                               cap_dev=cap_dev)
+        alive = [c for c in synced if c.n_id_1 >= 0]
+        if verbose >= 2 and len(alive) < len(synced):
+            print(f"    {len(synced) - len(alive)} peak(s) failed SSS "
+                  "detection")
+        detected = []
+        for cp in ("normal", "extended"):
+            group = [c for c in alive if c.cp_type == cp]
+            if not group:
+                continue
+            for cell in decode_mib_batch(group, capbuf, fc_requested,
+                                         fc_programmed, fs_programmed,
+                                         cap_dev=cap_dev):
+                if cell.n_rb_dl < 0:
+                    if verbose >= 2:
+                        print("    peak failed MIB decode")
+                    continue
+                detected.append(cell)
+                if verbose:
+                    print(f"  cell ID {cell.n_id_cell()}: "
+                          f"{cell.n_rb_dl} RB, {cell.cp_type} CP, foff "
+                          f"{cell.freq_superfine:+.1f} Hz")
+        return detected
+
     detected: List[Cell] = []
     for cell in peaks:
         cell = sss_detect(cell, capbuf, thresh2_n_sigma, fc_requested,

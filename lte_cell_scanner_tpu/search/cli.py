@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute backend for the PSS scan (default jax)")
     p.add_argument("--interp", choices=("hex", "freq_time", "2stage"),
                    default="hex", help="channel-estimate interpolator")
+    p.add_argument("--batch-sweep", action="store_true",
+                   help="capture the whole sweep first, then scan it "
+                        "data-parallel across devices and decode every "
+                        "candidate in two batched dispatches (jax "
+                        "backend; highest throughput, deferred output)")
     return p
 
 
@@ -110,6 +115,10 @@ def main(argv=None) -> int:
                                record=args.record,
                                correction=args.correction)
 
+    if args.batch_sweep and args.backend == "jax":
+        return _batched_sweep(args, source, fc_search_set, f_search_set,
+                              verbosity)
+
     all_cells = []
     for fc_requested in fc_search_set:
         if verbosity >= 1:
@@ -126,7 +135,10 @@ def main(argv=None) -> int:
             print(f"  ({time.time() - t0:.2f}s)")
         all_cells.extend(cells)
 
-    cells_final = dedup(all_cells)
+    return print_results(dedup(all_cells), args.correction)
+
+
+def print_results(cells_final, correction: float) -> int:
     if not cells_final:
         print("No LTE cells were found...")
         return 1
@@ -141,12 +153,52 @@ def main(argv=None) -> int:
         pr = {1 / 6: "1/6", 1 / 2: "1/2", 1.0: "one", 2.0: "two"}.get(
             c.phich_resource, "UNK")
         crystal_actual = c.fc_requested - c.freq_superfine
-        correction_new = args.correction * (c.fc_requested / crystal_actual)
+        correction_new = correction * (c.fc_requested / crystal_actual)
         print(f"{c.n_id_cell():3d} {c.n_ports:1d} "
               f"{c.fc_requested / 1e6:6.5g}M {freq_formatter(c.freq_superfine)} "
               f"{db10(c.pss_pow):5.3g} {cp} {c.n_rb_dl:3d} {ph} {pr} "
               f"{correction_new:.20g}")
     return 0
+
+
+def _batched_sweep(args, source, fc_search_set, f_search_set,
+                   verbosity: int) -> int:
+    """Whole-sweep batched path: capture everything, scan data-parallel
+    over the available devices, decode every candidate of the sweep in
+    two device dispatches (parallel/fc_sweep.sharded_search_sweep)."""
+    import numpy as np
+
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_search_sweep)
+
+    caps, fcs = [], []
+    for fc_requested in fc_search_set:
+        if verbosity >= 1:
+            print(f"Capturing {fc_requested / 1e6:.4g} MHz ...")
+        try:
+            capbuf, _fc_prog = source.capture(fc_requested)
+        except FileNotFoundError as e:
+            sys.exit(f"Error: no recorded capture to load: {e.filename}")
+        caps.append(capbuf)
+        fcs.append(fc_requested)
+    import jax
+
+    B = len(caps)
+    n_shards = max(d for d in range(1, len(jax.devices()) + 1)
+                   if B % d == 0)
+    t0 = time.time()
+    per_cap, deduped = sharded_search_sweep(
+        np.stack(caps), fcs, np.asarray(f_search_set),
+        make_cap_mesh(n_shards))
+    if verbosity >= 1:
+        for b, fc in enumerate(fcs):
+            for c in per_cap[b]:
+                print(f"  {fc / 1e6:.4g} MHz: cell ID {c.n_id_cell()}: "
+                      f"{c.n_rb_dl} RB, {c.cp_type} CP, foff "
+                      f"{c.freq_superfine:+.1f} Hz")
+        print(f"  sweep: {B} fc in {time.time() - t0:.2f}s "
+              f"({n_shards} device shard(s))")
+    return print_results(deduped, args.correction)
 
 
 if __name__ == "__main__":

@@ -502,7 +502,8 @@ class BatchTrackerEngine:
                           jnp.asarray(carry_idx), C + 1)
         (np_c, sp_c, foe_comb, foe_np, delay, delay_np, ce_filt_e, scal_e,
          ac_sum, acw_sum, carry_out) = _unpack(flat, [
-             (T,), (T,), (T, 2), (T,), (T,), (T,),
+             (T,), (T,), ("f32", (T, 2)), ("f32", (T,)),
+             ("f32", (T,)), ("f32", (T,)),
              (E, 12, 2), (E, 4),
              (C + 1, 12, 2), (C + 1, 12), (C, P, 2, 12, 2)])
 
@@ -761,18 +762,39 @@ def _pack(*arrays):
     at half the bytes. The quantities here are noise-limited estimates —
     f16's ~1e-3 relative error sits far below the estimation noise; the
     phase-critical accumulations (bulk phase, FOE/TOE blends) happen in
-    float64 on host either way."""
-    return jnp.concatenate([a.astype(jnp.float16).reshape(-1)
-                            for a in arrays])
+    float64 on host either way.
+
+    Feedback-critical statistics (the FOE/TOE estimates that close the
+    tracking loops — at very high SNR their estimator noise can drop
+    below f16's ~1e-3 floor) are marked by wrapping the array in
+    ``("f32", a)``: they travel LOSSLESSLY, bit-cast to pairs of f16
+    lanes inside the same single fetch."""
+    parts = []
+    for a in arrays:
+        if isinstance(a, tuple) and a[0] == "f32":
+            parts.append(jax.lax.bitcast_convert_type(
+                a[1].astype(jnp.float32), jnp.float16).reshape(-1))
+        else:
+            parts.append(a.astype(jnp.float16).reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def _unpack(flat, shapes):
+    """Invert _pack. Entries of ``shapes`` are plain shape tuples (f16)
+    or ("f32", shape) for the losslessly packed arrays."""
     out, off = [], 0
-    flat = np.asarray(flat, np.float64)
+    flat16 = np.asarray(flat)
     for sh in shapes:
-        n = int(np.prod(sh))
-        out.append(flat[off:off + n].reshape(sh))
-        off += n
+        if isinstance(sh, tuple) and len(sh) and sh[0] == "f32":
+            sh = sh[1]
+            n = int(np.prod(sh))
+            raw = np.ascontiguousarray(flat16[off:off + 2 * n])
+            out.append(raw.view(np.float32).astype(np.float64).reshape(sh))
+            off += 2 * n
+        else:
+            n = int(np.prod(sh))
+            out.append(flat16[off:off + n].astype(np.float64).reshape(sh))
+            off += n
     return out
 
 
@@ -848,7 +870,8 @@ def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
     scal_e = scal[emit_idx]                                 # (E, 4)
     carry_out = rows[carry_idx]                             # (C, P, 2, 12, 2)
 
-    return _pack(np_c, sp_c, foe_comb, foe_np, delay, delay_np,
+    return _pack(np_c, sp_c, ("f32", foe_comb), ("f32", foe_np),
+                 ("f32", delay), ("f32", delay_np),
                  ce_filt_e, scal_e, ac_sum, acw_sum, carry_out)
 
 

@@ -137,3 +137,35 @@ def test_fc_sweep_truncation_fallback():
         assert len(got[b]) == len(want)
         for a, w in zip(got[b], want):
             assert (a.n_id_2, a.ind, a.freq) == (w.n_id_2, w.ind, w.freq)
+
+
+def test_sharded_sweep_e2e_mib(capbuf_0000):
+    """A 2-fc sweep through the DP sharded scan AND the batched device
+    decode must produce the same cell lists (full MIB) as the host path
+    per capture (VERDICT r1 weak #6)."""
+    from lte_cell_scanner_tpu.io.simulator import synthetic_capture
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_search_sweep)
+    from lte_cell_scanner_tpu.search.cell_search import cell_search
+
+    cap0, fc0 = capbuf_0000
+    cap1 = synthetic_capture(n_id_1=30, n_id_2=0, snr_db=15,
+                             freq_offset=6e3, n_rb_dl=75, seed=7)
+    caps = np.stack([cap0, cap1[:len(cap0)]])
+    fcs = [fc0, fc0 + 100e3]
+    fset = np.arange(-15, 16) * 5e3
+
+    per_cap, deduped = sharded_search_sweep(caps, fcs, fset,
+                                            make_cap_mesh(2))
+
+    for b, fc in enumerate(fcs):
+        host = cell_search(caps[b], fc, f_search_set=fset,
+                           backend="numpy", interp="freq_time")
+        got = sorted(per_cap[b], key=lambda c: c.n_id_cell())
+        want = sorted(host, key=lambda c: c.n_id_cell())
+        assert [c.n_id_cell() for c in got] == [c.n_id_cell() for c in want]
+        for g, w in zip(got, want):
+            assert (g.n_rb_dl, g.n_ports, g.sfn, g.cp_type) == \
+                (w.n_rb_dl, w.n_ports, w.sfn, w.cp_type)
+            assert abs(g.freq_superfine - w.freq_superfine) < 0.5
+    assert {c.n_id_cell() for c in deduped} >= {271, 277, 90}
