@@ -77,7 +77,8 @@ def main():
         n_cap, fset, fc, fc, 1.92e6)
     bank_j = jnp.asarray(bank)
     bases_j = jnp.asarray(bases)
-    offs_j = jnp.asarray(offs)
+    offs_j = None if offs is None else jnp.asarray(offs)
+    front = pad_len[0] if isinstance(pad_len, tuple) else 0
     r_norm = r_th1_normalized(n_comb_xc, DS_COMB_ARM)
 
     # Raw radio bytes: (B, 2, pad_len) uint8, converted on device.
@@ -103,8 +104,10 @@ def main():
     @jax.jit
     def to_flat(u8b):
         """uint8 batch -> flattened (B*n_cap, 2) f32 capture stack for
-        the decode dispatches (no extra host->device transfer)."""
-        f = (u8b[:, :, :n_cap].astype(jnp.float32) - 127.0) / 128.0
+        the decode dispatches (no extra host->device transfer; skips the
+        TEA layout's 128-sample front pad)."""
+        raw = u8b[:, :, front:front + n_cap]
+        f = (raw.astype(jnp.float32) - 127.0) / 128.0
         return jnp.moveaxis(f, 1, 2).reshape(B * n_cap, 2)
 
     def full_pipeline():

@@ -589,8 +589,14 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         crc_est = crc_est ^ crc_masks[None, None, :, :]
         ok = jnp.all(crc_est == bits[..., 24:40], axis=-1)  # (B, 4, 3)
 
-        return {"bits": bits, "ok": ok, "residual_f": residual_f,
-                "delay": delay, "np_v": np_v}
+        # ONE packed (B, 1+12+480) f32 output — a single D2H fetch
+        # (bits are 0/1 and the ok flags booleans, lossless in f32);
+        # delay/np_v are device-internal diagnostics not worth a fetch.
+        return jnp.concatenate([
+            residual_f[:, None].astype(jnp.float32),
+            ok.reshape(ok.shape[0], 12).astype(jnp.float32),
+            bits.reshape(bits.shape[0], 480).astype(jnp.float32),
+        ], axis=1)
 
     return run
 
@@ -645,7 +651,12 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
               plan.ts, plan.rs_conj, plan.shifts, plan.lower_first,
               plan.pbch_rows, plan.pbch_cols, plan.scr_sign,
               plan.omk_base, plan.inv_fcp)
-    out = {k: np.asarray(v) for k, v in out.items()}
+    packed = np.asarray(out, dtype=np.float64)   # single D2H fetch
+    out = {
+        "residual_f": packed[:, 0],
+        "ok": packed[:, 1:13].reshape(-1, 4, 3) > 0.5,
+        "bits": packed[:, 13:493].reshape(-1, 4, 3, 40),
+    }
 
     res: List[Cell] = []
     for b, cell in enumerate(cells):

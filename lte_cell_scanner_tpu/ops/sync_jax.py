@@ -368,11 +368,15 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
     conv = jnp.take_along_axis(foe_conv, cp_sel[:, None], axis=1)[:, 0]
     dfreq = jnp.arctan2(m_sel[:, 1], m_sel[:, 0]) * conv
 
-    return {
-        "n_id_1": n_id_1, "cp_sel": cp_sel, "ord_sel": ord_sel,
-        "detected": detected, "dfreq": dfreq.astype(f32),
-        "lik_final": lik_final, "lik_mean": lik_mean, "lik_std": lik_std,
-    }
+    # ONE packed (8, B) f32 output: through a tunneled/PCIe link every
+    # separate device->host array is its own round trip, and the whole
+    # result is a few hundred bytes (all the ints are small enough to
+    # cross f32 losslessly).
+    return jnp.stack([
+        n_id_1.astype(f32), cp_sel.astype(f32), ord_sel.astype(f32),
+        detected.astype(f32), dfreq.astype(f32),
+        lik_final.astype(f32), lik_mean.astype(f32), lik_std.astype(f32),
+    ])
 
 
 # ----------------------------------------------------------------------
@@ -409,7 +413,10 @@ def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
                        plan.foe_sss, plan.foe_mask, plan.foe_seq,
                        plan.foe_phase, plan.foe_conv,
                        np.float32(thresh2_n_sigma))
-    out = {k: np.asarray(v) for k, v in out.items()}
+    packed = np.asarray(out, dtype=np.float64)   # single D2H fetch
+    out = {k: packed[i] for i, k in enumerate(
+        ("n_id_1", "cp_sel", "ord_sel", "detected", "dfreq",
+         "lik_final", "lik_mean", "lik_std"))}
 
     res: List[Cell] = []
     for b, cell in enumerate(cells):
@@ -417,7 +424,8 @@ def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
         if out["detected"][b]:
             c.n_id_1 = int(out["n_id_1"][b])
             c.cp_type = "extended" if out["cp_sel"][b] else "normal"
-            c.frame_start = float(plan.frame_start[b, out["ord_sel"][b]])
+            c.frame_start = float(
+                plan.frame_start[b, int(out["ord_sel"][b])])
             c.freq_fine = cell.freq + float(out["dfreq"][b])
         res.append(c)
     return res

@@ -196,7 +196,8 @@ def xcorr_pss_jax(capbuf, f_search_set, ds_comb_arm, fc_requested,
             np.stack([capbuf.real, capbuf.imag]).astype(np.float32), pad_len)
         packed, single, inc = xcorr_core_pallas(
             jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
-            jnp.asarray(offs), n_comb_xc, n_comb_sp, ds_comb_arm,
+            None if offs is None else jnp.asarray(offs),
+            n_comb_xc, n_comb_sp, ds_comb_arm,
             halo=halo, n_tile=n_tile)
         packed = np.asarray(packed, dtype=np.float64)
         return XcorrResult(

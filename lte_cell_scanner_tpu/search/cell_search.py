@@ -104,7 +104,8 @@ def cell_search(
                 [capbuf.real, capbuf.imag]).astype(np.float32), pad_len)
             table = scan_and_peaks_pallas(
                 jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
-                jnp.asarray(offs), r_norm, n_comb_xc, n_comb_sp,
+                None if offs is None else jnp.asarray(offs),
+                r_norm, n_comb_xc, n_comb_sp,
                 ds_comb_arm, halo=halo, n_tile=n_tile)
             peaks = peaks_to_cells(np.asarray(table), f_search_set,
                                    fc_requested, fc_programmed,

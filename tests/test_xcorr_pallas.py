@@ -47,19 +47,59 @@ def test_pallas_single_matches_xla_f32():
                                atol=1e-6 * np.abs(want).max())
 
 
-def test_pallas_core_packed_and_uint8():
+def test_pallas_bf16_bank_tracks_f32():
+    """bf16 precision mode: uint8-born samples are exact in bf16, only
+    the template bank rounds (~2^-8) — the fold must track the f32 path
+    within that rounding and keep the peak structure identical."""
+    cap = _capture(seed=5)
+    fset = np.arange(-2, 3) * 5e3
+    s32, n32 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
+                                   interpret=True)
+    s16, n16 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
+                                   interpret=True, precision="bf16")
+    assert n32 == n16
+    a = np.asarray(s32, dtype=np.float64)
+    b = np.asarray(s16, dtype=np.float64)
+    assert np.abs(a - b).max() < 2e-3 * np.abs(a).max()
+    assert np.unravel_index(a.argmax(), a.shape) == \
+        np.unravel_index(b.argmax(), b.shape)
+
+
+def test_pallas_tea_matches_roll():
+    """Template-embedded-alignment kernel (the default layout): same
+    fold as the roll-based kernel (the per-hypothesis k_factor shifts
+    are baked into per-fold template banks instead of post-matmul
+    rolls)."""
+    cap = _capture(seed=11)
+    fset = np.arange(-3, 4) * 5e3
+    s_roll, n1 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
+                                     interpret=True, layout="roll")
+    s_tea, n2 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
+                                    interpret=True, layout="tea")
+    assert n1 == n2
+    a = np.asarray(s_roll, dtype=np.float64)
+    b = np.asarray(s_tea, dtype=np.float64)
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7 * a.max())
+
+
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["roll", "tea"])
+def test_pallas_core_packed_and_uint8(layout):
     cap = _capture(seed=3)
     fset = np.arange(-1, 2) * 5e3
     n_cap = len(cap)
     n_comb_sp = (n_cap - 136 - 137) // 9600
     bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
-        n_cap, fset, 739e6, 739e6, 1.92e6)
+        n_cap, fset, 739e6, 739e6, 1.92e6, layout=layout)
     from lte_cell_scanner_tpu.ops.xcorr_pallas import pad_capture
-    cap2 = pad_capture(
-        np.stack([cap.real, cap.imag]).astype(np.float32), pad_len)
+    cap2_raw = np.stack([cap.real, cap.imag]).astype(np.float32)
+    cap2 = pad_capture(cap2_raw, pad_len)
+    offs_j = None if offs is None else jnp.asarray(offs)
     packed, single, inc = xcorr_core_pallas(
         jnp.asarray(cap2), jnp.asarray(bank), jnp.asarray(bases),
-        jnp.asarray(offs), n_comb_xc, n_comb_sp, 2, halo=halo,
+        offs_j, n_comb_xc, n_comb_sp, 2, halo=halo,
         n_tile=n_tile, interpret=True)
     rj = xcorr_pss_jax(cap, fset, 2, 739e6, 739e6, 1.92e6,
                        dtype=np.float32, use_pallas=False)
@@ -72,13 +112,12 @@ def test_pallas_core_packed_and_uint8():
 
     # uint8 radio-byte ingestion: quantize to rtl_sdr format, expect the
     # same peak structure (planted PSS still detected at the right lag).
-    u8 = np.where(
-        np.arange(cap2.shape[-1]) < n_cap,
-        np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255), 127
-    ).astype(np.uint8)
+    u8 = pad_capture(
+        np.clip(np.round(cap2_raw * 128.0 + 127.0), 0, 255
+                ).astype(np.uint8), pad_len)
     packed_u, _, _ = xcorr_core_pallas(
         jnp.asarray(u8), jnp.asarray(bank), jnp.asarray(bases),
-        jnp.asarray(offs), n_comb_xc, n_comb_sp, 2, halo=halo,
+        offs_j, n_comb_xc, n_comb_sp, 2, halo=halo,
         n_tile=n_tile, interpret=True)
     pow_u = np.asarray(packed_u, dtype=np.float64)[0:3]
     n2, lag = np.unravel_index(np.argmax(pow_u), pow_u.shape)
