@@ -110,8 +110,9 @@ def main():
         f = (raw.astype(jnp.float32) - 127.0) / 128.0
         return jnp.moveaxis(f, 1, 2).reshape(B * n_cap, 2)
 
-    def full_pipeline():
-        dev = jax.device_put(u8)
+    def full_pipeline(dev=None):
+        if dev is None:
+            dev = jax.device_put(u8)
         tables = np.asarray(scan_jit(dev), dtype=np.float64)
         cap_flat = to_flat(dev)
         cells, bases_c = [], []
@@ -155,6 +156,22 @@ def main():
         full_pipeline()
         full_times.append(time.time() - t0)
 
+    # Pipelined sweep: a production fc sweep overlaps the NEXT batch's
+    # host->device byte upload (the dominant wall-clock cost on any
+    # PCIe/tunnel link) with the current batch's scan+decode, via a
+    # 1-deep prefetch thread. Steady-state throughput, not latency.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(jax.device_put, u8)
+        t0 = time.time()
+        for i in range(REPS):
+            dev = fut.result()
+            if i + 1 < REPS:
+                fut = ex.submit(jax.device_put, u8)
+            full_pipeline(dev)
+        pipelined_ms = (time.time() - t0) / REPS / B * 1e3
+
     full_ms = np.array(full_times) / B * 1e3
     scan_ms = np.array(scan_times) / B * 1e3
     value = float(np.median(full_ms))
@@ -164,6 +181,7 @@ def main():
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS_PER_FC / value, 1),
         "min_ms": round(float(full_ms.min()), 2),
+        "pipelined_ms": round(pipelined_ms, 2),
         "scan_only_ms": round(float(np.median(scan_ms)), 2),
         "samples_per_sec_per_chip": int(n_cap / (np.median(scan_ms) / 1e3)),
         "decoded_cells_per_fc": len(decoded) / B,

@@ -45,6 +45,7 @@ from lte_cell_scanner_tpu.models.pn import lte_pn
 from lte_cell_scanner_tpu.models.ratematch import _index_map
 from lte_cell_scanner_tpu.models.rs import RSDL
 from lte_cell_scanner_tpu.ops.pbch import N_RB_DL_TABLE, PHICH_RES_TABLE
+from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins
 from lte_cell_scanner_tpu.ops.tfg import CN, symbol_timestamps
 from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cconj, _cmul
 from lte_cell_scanner_tpu.utils.dsp import interp1
@@ -279,12 +280,16 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         inwin=np.zeros(B, np.float32),
         late=np.zeros((B, n_ofdm), np.float32),
         ts=np.zeros((B, n_ofdm), np.float32),
-        rs_conj=np.zeros((B, 20, 3, 12, 2), np.float32),
+        # Sign tables cross the link as int8 and the small gather
+        # indices as int16 (values < 1300): together they are ~40% of
+        # the plan's upload bytes, which on a PCIe/tunnel link is a
+        # measurable share of decode wall-clock. The device casts.
+        rs_conj=np.zeros((B, 20, 3, 12, 2), np.int8),
         shifts=np.zeros((B, 4, 2), np.int32),
         lower_first=np.zeros(B, np.float32),
-        pbch_rows=np.zeros((B, m_bit // 2), np.int32),
-        pbch_cols=np.zeros((B, m_bit // 2), np.int32),
-        scr_sign=np.ones((B, m_bit), np.float32),
+        pbch_rows=np.zeros((B, m_bit // 2), np.int16),
+        pbch_cols=np.zeros((B, m_bit // 2), np.int16),
+        scr_sign=np.ones((B, m_bit), np.int8),
         omk_base=np.zeros(B, np.float32),
         inv_fcp=np.zeros(B, np.float32),
         ok=np.zeros(B, bool),
@@ -311,7 +316,7 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
 
         rs_conj, shifts, rows, colsv, scr_sign = _cell_tables(
             cell.n_id_cell(), cp_type)
-        p.rs_conj[b] = rs_conj
+        p.rs_conj[b] = np.sign(rs_conj)      # QPSK: components +/-1/sqrt2
         p.shifts[b] = shifts
         p.lower_first[b] = float(shifts[0, 0] < shifts[0, 1])
         p.pbch_rows[b] = rows
@@ -487,17 +492,24 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
     def run(cap, starts, phase0, inwin, late, ts, rs_conj, shifts,
             lower_first, pbch_rows, pbch_cols, scr_sign, omk_base,
             inv_fcp):
-        # ---- extract_tfg.
-        idx = starts[..., None] + jnp.arange(128, dtype=jnp.int32)
-        wins = cap[idx]                                  # (B, S, 128, 2)
-        t128 = jnp.arange(128, dtype=cap.dtype)
-        ang = phase0[..., None] + inwin[:, None, None] * t128
-        x = _cmul(wins, rot_pair(ang))
+        # Unpack the link-compressed tables (see MibPlan): int8 signs
+        # scale back to +/-1/sqrt2 QPSK, int16 indices widen to i32.
+        rs_conj = rs_conj.astype(jnp.float32) * np.float32(np.sqrt(0.5))
+        scr_sign = scr_sign.astype(jnp.float32)
+        pbch_rows = pbch_rows.astype(jnp.int32)
+        pbch_cols = pbch_cols.astype(jnp.int32)
+        # ---- extract_tfg (aligned-blend windowing: see
+        # sync_jax._aligned_wins — the b-sample cyclic rotation folds
+        # into the fractional-timing phase ramp as late - b).
+        g, jidx, bofs = _aligned_wins(cap, starts)       # (B, S, 128, 2)
+        ang = phase0[..., None] + inwin[:, None, None] * jidx
+        x = _cmul(g, rot_pair(ang))
         yr = x[..., 0] @ wr - x[..., 1] @ wi
         yi = x[..., 0] @ wi + x[..., 1] @ wr
         tfg = jnp.stack([yr, yi], -1)                    # (B, S, 72, 2)
         tfg = _cmul(tfg, rot_pair(
-            -2.0 * jnp.pi * late[..., None] * cn / 128.0))
+            -2.0 * jnp.pi * (late - bofs.astype(cap.dtype))[..., None]
+            * cn / 128.0))
 
         rows01, rows23, slot_mod = (jnp.asarray(a) for a in
                                     _rs_rows(n_symb_dl, n_ofdm))

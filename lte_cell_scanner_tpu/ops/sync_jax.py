@@ -218,26 +218,63 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
 # Device program.
 
 
-def _extract_psss_dev(wins, foc_rate):
-    """FOC + 2-sample TOC + DFT to the 62 sync bins.
+_CN62 = np.concatenate([np.arange(97, 128) - 128,
+                        np.arange(1, 32)]).astype(np.float32)
 
-    wins: (..., 128, 2); foc_rate: broadcastable (...,) — the per-sample
-    FOC phase rate 2*pi*foc/fs_eff. Returns (..., 62, 2).
+
+def _extract_psss_dev(cap, idx, foc_rate):
+    """FOC + 2-sample TOC + DFT to the 62 sync bins for the windows at
+    ``idx`` (fused _aligned_wins extraction, see its docstring).
+
+    cap: (n, 2); idx: (...,) i32; foc_rate: broadcastable to idx's
+    shape — the per-sample FOC phase rate 2*pi*foc/fs_eff.
+    Returns (..., 62, 2).
     """
-    t = jnp.arange(128, dtype=wins.dtype)
-    ang = foc_rate[..., None] * t
+    g, j, b = _aligned_wins(cap, idx)
+    ang = foc_rate[..., None] * j
     rot = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
-    x = _cmul(wins, rot)
+    x = _cmul(g, rot)
     wr, wi = (jnp.asarray(m) for m in _dft62())
     yr = x[..., 0] @ wr - x[..., 1] @ wi
     yi = x[..., 0] @ wi + x[..., 1] @ wr
-    return jnp.stack([yr, yi], axis=-1)
+    y = jnp.stack([yr, yi], axis=-1)
+    # Undo the blend's b-sample cyclic rotation in the bin domain.
+    tw = (2.0 * jnp.pi / 128.0) * b[..., None].astype(cap.dtype) \
+        * jnp.asarray(_CN62)
+    return _cmul(y, jnp.stack([jnp.cos(tw), jnp.sin(tw)], axis=-1))
 
 
-def _gather_wins(cap, idx):
-    """cap (n_cap, 2), idx (..., ) i32 -> windows (..., 128, 2)."""
-    flat = idx[..., None] + jnp.arange(128, dtype=jnp.int32)
-    return cap[flat]
+def _aligned_wins(cap, idx):
+    """Cyclic-blend window extraction from 128-aligned rows.
+
+    cap (n, 2); idx (...,) i32 window starts (out-of-range rows clamp —
+    callers mask those windows). Returns (g, j, b):
+      g (..., 128, 2) — lane-blend of aligned rows a=idx//128 and a+1:
+        lane c holds capture sample idx + (c - b) mod 128, b = idx%128;
+      j (..., 128) — the original in-window sample index of each lane
+        (for per-sample FOC rotation);
+      b (...,) i32 — DFT_128(true window) = e^{2pi i b k/128} DFT_128(g),
+        because the DFT kernel has period 128 in the sample index, so
+        lane c contributes at W^{ck} = W^{(j+b)k}.
+
+    This replaces a 128-wide elementwise gather (scalar-bound on TPU,
+    ~30 ms for 5e4 windows) with two contiguous row gathers + a lane
+    mask (~0.8 ms measured), with the b-rotation folded into the
+    existing post-DFT per-subcarrier phase compensation.
+    """
+    n = cap.shape[0]
+    if n % 128:
+        cap = jnp.pad(cap, ((0, 128 - n % 128), (0, 0)))
+    V = cap.reshape(-1, 128, 2)
+    a = idx // 128
+    b = idx % 128
+    y = V[jnp.clip(a, 0, V.shape[0] - 1)]
+    y2 = V[jnp.clip(a + 1, 0, V.shape[0] - 1)]
+    c = jnp.arange(128, dtype=jnp.int32)
+    mask = c >= b[..., None]
+    g = jnp.where(mask[..., None], y, y2)
+    j = (c - b[..., None] + jnp.where(mask, 0, 128)).astype(cap.dtype)
+    return g, j, b
 
 
 def _combine(h, np_, raw, mask):
@@ -284,18 +321,15 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
     foc_rate = 2.0 * jnp.pi * foc * inv_fs                 # (B,)
 
     # ---- detection: channel estimates from every PSS repetition.
-    wins = _gather_wins(cap, pss_idx)                      # (B, R, 128, 2)
-    h_raw = _extract_psss_dev(wins, foc_rate[:, None])
+    h_raw = _extract_psss_dev(cap, pss_idx, foc_rate[:, None])
     pconj = jnp.asarray(_pss_fd_conj())[n_id_2]            # (B, 62, 2)
     h_raw = _cmul(h_raw, pconj[:, None])
     sm = jnp.asarray(_smooth13_mat())
     h_sm = jnp.stack([h_raw[..., 0] @ sm.T, h_raw[..., 1] @ sm.T], -1)
     pss_np = jnp.mean(_cabs2(h_sm - h_raw), axis=-1)       # (B, R)
 
-    nrm_raw = _extract_psss_dev(
-        _gather_wins(cap, pss_idx - 128 - 9), foc_rate[:, None])
-    ext_raw = _extract_psss_dev(
-        _gather_wins(cap, pss_idx - 128 - 32), foc_rate[:, None])
+    nrm_raw = _extract_psss_dev(cap, pss_idx - 128 - 9, foc_rate[:, None])
+    ext_raw = _extract_psss_dev(cap, pss_idx - 128 - 32, foc_rate[:, None])
 
     # Parity split: h1 = even repetitions, h2 = odd.
     ev, od = rep_mask[:, 0::2], rep_mask[:, 1::2]
@@ -338,10 +372,9 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
     detected = lik_final >= lik_mean + lik_std * thresh2_n_sigma
 
     # ---- fine FOE for all four (ordering, cp) combos, then select.
-    pw = _gather_wins(cap, foe_pss)                        # (B,2,2,S,128,2)
-    sw = _gather_wins(cap, foe_sss)
     fr = foc_rate[:, None, None, None]
-    fh_raw = _cmul(_extract_psss_dev(pw, fr), pconj[:, None, None, None])
+    fh_raw = _cmul(_extract_psss_dev(cap, foe_pss, fr),
+                   pconj[:, None, None, None])
     fh_sm = jnp.stack([fh_raw[..., 0] @ sm.T, fh_raw[..., 1] @ sm.T], -1)
     fnp = jnp.mean(_cabs2(fh_sm - fh_raw), axis=-1)        # (B,2,2,S)
 
@@ -353,7 +386,7 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
 
     ph = foe_phase[..., None, None]                        # (B,2,2,1,1)
     prot = jnp.stack([jnp.cos(ph), jnp.sin(ph)], -1)       # (B,2,2,1,1,2)
-    sss_raw = _cmul(_extract_psss_dev(sw, fr), prot)
+    sss_raw = _cmul(_extract_psss_dev(cap, foe_sss, fr), prot)
     sss_raw = sss_raw * known[..., None]
 
     fh2 = _cabs2(fh_sm)
