@@ -73,7 +73,7 @@ def _dft_mats():
     return w.real.astype(np.float32), w.imag.astype(np.float32)
 
 
-def get_fd_batch(data, foc_rate, bpo, late):
+def get_fd_batch(data, foc_rate, bpo, late, j=None):
     """Symbol demod for a batch of 128-sample windows.
 
     data:     (..., 128, 2) f32 — raw symbol windows.
@@ -83,10 +83,14 @@ def get_fd_batch(data, foc_rate, bpo, late):
               window's increment; reference: src/tracker_thread.cpp:
               151-171).
     late:     (...,) f32 — fractional timing for the phase ramp.
+    j:        optional (..., 128) f32 — per-lane original sample index
+              when ``data`` is an aligned-blend window
+              (ops/sync_jax._aligned_wins); the caller must already
+              have folded the blend's b offset into ``late``.
 
     Returns syms (..., 72, 2).
     """
-    t = jnp.arange(128, dtype=data.dtype)
+    t = jnp.arange(128, dtype=data.dtype) if j is None else j
     ph = foc_rate[..., None] * t                      # (..., 128)
     foc = jnp.stack([jnp.cos(ph), jnp.sin(ph)], axis=-1)
     x = _cmul(data, foc)

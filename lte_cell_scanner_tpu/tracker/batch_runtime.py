@@ -800,8 +800,8 @@ def _unpack(flat, shapes):
 
 def _demod_core(data, foc_rate, bpo, late, rs_conj_tab, shift_tab,
                 rs_idx, rs_slot, rs_sym, keep_idx, pair_idx, pair_sel,
-                pss_conj, sss_tab):
-    syms = bf.get_fd_batch(data, foc_rate, bpo, late)     # (C, S, 72, 2)
+                pss_conj, sss_tab, j=None):
+    syms = bf.get_fd_batch(data, foc_rate, bpo, late, j=j)  # (C,S,72,2)
     C = syms.shape[0]
     cidx = jnp.arange(C, dtype=jnp.int32)[:, None]
     # PBCH symbols home; everything else consumed on device.
@@ -836,13 +836,17 @@ def _demod_jit(data, *args):
 
 
 @jax.jit
-def _demod_stream_jit(seg, starts, *args):
+def _demod_stream_jit(seg, starts, foc_rate, bpo, late, *args):
     """Stream-gather demod: every cell's windows are sliced out of the
-    once-uploaded raw stream on device."""
+    once-uploaded raw stream on device (aligned-blend extraction — see
+    ops/sync_jax._aligned_wins; the blend's b offset folds into the
+    fractional-timing ramp as late - b)."""
+    from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins
+
     x = (seg.astype(jnp.float32) - 127.0) * (1.0 / 128.0)   # (L, 2)
-    idx = starts[:, :, None] + jnp.arange(128, dtype=jnp.int32)
-    data = x[idx]                                           # (C, S, 128, 2)
-    return _demod_core(data, *args)
+    g, j, b = _aligned_wins(x, starts)                      # (C,S,128,2)
+    return _demod_core(g, foc_rate, bpo,
+                       late - b.astype(jnp.float32), *args, j=j)
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg",))
