@@ -39,16 +39,16 @@ def symbol_timestamps(cell: Cell, fs_programmed: float, k_factor: float
         dft_location = dft_location - 0.01 * fs_programmed * k_factor
 
     n_ofdm = 6 * 10 * 2 * n_symb_dl + 2 * n_symb_dl
-    ts = np.empty(n_ofdm, dtype=np.float64)
-    sym_num = 0
-    for t in range(n_ofdm):
-        ts[t] = dft_location
-        if n_symb_dl == 6:
-            dft_location += (128 + 32) * u
-        else:
-            dft_location += (128 + (10 if sym_num == 6 else 9)) * u
-            sym_num = (sym_num + 1) % 7
-    return ts
+    if n_symb_dl == 6:
+        incs = np.full(n_ofdm - 1, (128 + 32) * u)
+    else:
+        pat = (128.0 + np.array([9, 9, 9, 9, 9, 9, 10], np.float64)) * u
+        incs = np.tile(pat, (n_ofdm + 6) // 7)[:n_ofdm - 1]
+    # np.cumsum (add.accumulate) is strictly sequential, so seeding it
+    # with dft_location reproduces the scalar accumulation loop
+    # bit-exactly (the round() of these timestamps picks the DFT sample,
+    # so the accumulation order is part of the numerical contract).
+    return np.cumsum(np.concatenate(([dft_location], incs)))
 
 
 def extract_tfg(cell: Cell, capbuf_raw: np.ndarray, fc_requested: float,

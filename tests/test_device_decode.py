@@ -107,3 +107,31 @@ def test_device_decode_extended_cp():
     assert cells[0].n_id_cell() == 3 * 30 + 2
     assert cells[0].cp_type == "extended"
     assert cells[0].n_rb_dl == 25
+
+
+def test_aligned_wins_blend_identity():
+    """_aligned_wins: DFT(true window) == e^{2πi b k/128} DFT(blend) for
+    arbitrary offsets, and the j index recovers per-sample positions —
+    including first/last/row-straddling windows."""
+    import jax.numpy as jnp
+
+    from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins
+
+    rng = np.random.default_rng(0)
+    n = 128 * 40
+    cap = rng.standard_normal((n, 2)).astype(np.float32)
+    idx = np.array([0, 1, 127, 128, 129, 255, n - 256, n - 129, n - 128,
+                    517, 1000, 4095], np.int32)
+    g, j, b = (np.asarray(a) for a in
+               _aligned_wins(jnp.asarray(cap), jnp.asarray(idx)))
+    k = np.arange(128)
+    for i, off in enumerate(idx):
+        w = cap[off:off + 128, 0] + 1j * cap[off:off + 128, 1]
+        gb = g[i, :, 0] + 1j * g[i, :, 1]
+        lhs = np.fft.fft(w)
+        rhs = np.exp(2j * np.pi * (off % 128) * k / 128) * np.fft.fft(gb)
+        assert np.abs(lhs - rhs).max() < 1e-4 * (np.abs(lhs).max() + 1)
+        assert b[i] == off % 128
+        # j holds each lane's original in-window sample index.
+        lane = np.arange(128)
+        assert (j[i].astype(int) == (lane - off % 128) % 128).all()
