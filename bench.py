@@ -172,6 +172,34 @@ def main():
             full_pipeline(dev)
         pipelined_ms = (time.time() - t0) / REPS / B * 1e3
 
+    # Device-only scan latency (chained lax.scan, slope between two
+    # chain lengths — immune to the host link, which dominates every
+    # wall-clock number above on a tunneled/PCIe chip).
+    cap2_1 = jnp.asarray(pad_capture(cap2.astype(np.float32), pad_len))
+
+    def chain(n):
+        def step(c, _):
+            t = scan_and_peaks_pallas(c, bank_j, bases_j, offs_j, r_norm,
+                                      n_comb_xc, n_comb_sp, DS_COMB_ARM,
+                                      halo=halo, n_tile=n_tile,
+                                      interpret=interpret)
+            eps = jnp.where(t[0, 0] > 1e30, 1.0, 0.0)
+            return c + eps, t[0, 0]
+
+        return jax.jit(lambda c: jax.lax.scan(step, c, None, length=n)[1])
+
+    if interpret:
+        device_scan_ms = float("nan")   # CPU fallback: not meaningful
+    else:
+        dev_times = {}
+        for n in (8, 32):
+            f = chain(n)
+            np.asarray(f(cap2_1))
+            t0 = time.time()
+            np.asarray(f(cap2_1))
+            dev_times[n] = time.time() - t0
+        device_scan_ms = (dev_times[32] - dev_times[8]) / 24 * 1e3
+
     full_ms = np.array(full_times) / B * 1e3
     scan_ms = np.array(scan_times) / B * 1e3
     value = float(np.median(full_ms))
@@ -183,6 +211,11 @@ def main():
         "min_ms": round(float(full_ms.min()), 2),
         "pipelined_ms": round(pipelined_ms, 2),
         "scan_only_ms": round(float(np.median(scan_ms)), 2),
+        "device_scan_ms": (round(device_scan_ms, 3)
+                           if device_scan_ms == device_scan_ms else None),
+        "device_samples_per_sec": (int(n_cap / (device_scan_ms / 1e3))
+                                   if device_scan_ms == device_scan_ms
+                                   else None),
         "samples_per_sec_per_chip": int(n_cap / (np.median(scan_ms) / 1e3)),
         "decoded_cells_per_fc": len(decoded) / B,
         "batch": B,
