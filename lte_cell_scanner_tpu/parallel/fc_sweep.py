@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +35,35 @@ from lte_cell_scanner_tpu.ops.xcorr import (fold_start_indices,
 from lte_cell_scanner_tpu.ops.xcorr_jax import _xcorr_core
 
 
+_DEV_BANK_CACHE: dict = {}   # sweep-key -> device-resident sharded banks
+
+
+def _to_complex(capbufs: np.ndarray, b: int = None):
+    """uint8 (B, 2, n) planes -> complex (B, n) (pass-through otherwise)."""
+    if capbufs.dtype != np.uint8:
+        return capbufs if b is None else capbufs[b]
+    f = (capbufs.astype(np.float32) - 127.0) / 128.0
+    c = f[:, 0] + 1j * f[:, 1]
+    return c if b is None else c[b]
+
+
+@functools.lru_cache(maxsize=512)
+def _fc_bank(fc: float, fset_key: bytes, fs_programmed: float,
+             n_cap: int, n_comb_xc: int, s0: int,
+             win_rows: int) -> np.ndarray:
+    """Cached per-carrier TEA template bank for the DP sweep (the bank
+    embeds fc's k_factor fold shifts; sweeps revisit carriers)."""
+    from lte_cell_scanner_tpu.ops.xcorr_pallas import _tea_bank
+
+    f_search_set = np.frombuffer(fset_key, dtype=np.float64)
+    tpl = shifted_templates(f_search_set, fc, fc,
+                            fs_programmed).reshape(-1, PSS_TD_LEN)
+    st = fold_start_indices(f_search_set, n_comb_xc, fc, fc,
+                            fs_programmed)
+    d = (st - np.arange(n_comb_xc)[None, :] * HALF_FRAME).astype(np.int64)
+    return _tea_bank(tpl, d, s0, win_rows, "f32")
+
+
 def make_cap_mesh(n_cap_shards: int) -> Mesh:
     devs = np.array(jax.devices()[:n_cap_shards])
     return Mesh(devs, axis_names=("cap",))
@@ -42,16 +73,28 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                      f_search_set: np.ndarray, mesh: Mesh,
                      fs_programmed: float = 1.92e6,
                      ds_comb_arm: int = DS_COMB_ARM,
-                     max_peaks: int = MAX_PEAKS) -> List[List[Cell]]:
+                     max_peaks: int = MAX_PEAKS,
+                     use_pallas: bool = None) -> List[List[Cell]]:
     """Scan B captures (one per center frequency) data-parallel over the
     ``cap`` mesh axis. Returns the candidate peak list per capture.
 
     B must be a multiple of the mesh size. Each capture gets its own
     frequency-shifted template bank and fold schedule (fc-dependent
     k_factor arithmetic), built on host and sharded alongside it.
+
+    use_pallas (default: auto — True on TPU) runs each device's local
+    captures through the fused TEA Pallas kernel (~16x the XLA im2col
+    core per chip); the fold schedule's window bases are fc-independent,
+    so only the per-capture template banks carry the k_factor shifts.
+
+    ``capbufs`` may be complex (B, n_cap) or raw radio bytes — uint8
+    (B, 2, n_cap) re/im planes, converted on device (4x less uplink).
     """
     capbufs = np.asarray(capbufs)
-    B, n_cap = capbufs.shape
+    if capbufs.dtype == np.uint8:
+        B, _, n_cap = capbufs.shape
+    else:
+        B, n_cap = capbufs.shape
     n_shards = mesh.shape["cap"]
     if B % n_shards:
         raise ValueError(f"B={B} not divisible by cap shards {n_shards}")
@@ -63,31 +106,94 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                   fs_programmed) for fc in fc_list)
     n_comb_sp = n_comb_sp_for(n_cap)
     r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
 
-    cap_ri = np.stack([capbufs.real, capbufs.imag], -1).astype(np.float32)
-    tre = np.zeros((B, 3 * len(f_search_set), PSS_TD_LEN), np.float32)
-    tim = np.zeros_like(tre)
-    starts = np.zeros((B, len(f_search_set), n_comb_xc), np.int32)
+    n_f = len(f_search_set)
+    starts = np.zeros((B, n_f, n_comb_xc), np.int32)
+    tpls = []
     for b, fc in enumerate(fc_list):
-        tpl = shifted_templates(f_search_set, fc, fc,
-                                fs_programmed).reshape(-1, PSS_TD_LEN)
-        tre[b] = tpl.real
-        tim[b] = tpl.imag
+        tpls.append(shifted_templates(f_search_set, fc, fc,
+                                      fs_programmed).reshape(-1,
+                                                             PSS_TD_LEN))
         starts[b] = fold_start_indices(f_search_set, n_comb_xc, fc, fc,
                                        fs_programmed)
 
-    def scan_one(cap, tr, ti, st):
-        packed, single, _ = _xcorr_core(cap, tr, ti, st,
-                                        n_comb_sp=n_comb_sp,
-                                        ds_comb_arm=ds_comb_arm)
-        return peak_search_device(packed, single, r_norm, ds_comb_arm,
-                                  max_peaks=max_peaks)
-
-    sweep = jax.vmap(scan_one)
     shard = NamedSharding(mesh, P("cap"))
-    args = [jax.device_put(jnp.asarray(x), shard)
-            for x in (cap_ri, tre, tim, starts)]
-    tables = np.asarray(jax.jit(sweep)(*args))
+    if use_pallas:
+        from jax.experimental.shard_map import shard_map
+
+        from lte_cell_scanner_tpu.ops.xcorr_pallas import (
+            DEFAULT_TILE, pad_capture, plan_tiles_tea, xcorr_core_pallas)
+
+        # One shared schedule for the whole sweep: the bases are
+        # fc-independent; the per-fc fold misalignments d live in the
+        # per-capture banks (sized by the sweep-global extremes).
+        bases, d_all, s0, s_col, win_rows, n_tile, pad = plan_tiles_tea(
+            n_cap, starts.reshape(B * n_f, n_comb_xc), tile=DEFAULT_TILE)
+        d_all = d_all.reshape(B, n_f, n_comb_xc)
+        # Sweeps revisit the same carriers batch after batch — cache the
+        # (fc, grid) -> bank construction (a ~0.4 MB table per fc) AND
+        # the device-resident sharded upload (~16 MB/sweep otherwise
+        # re-crossing the link every call).
+        fset_key = f_search_set.tobytes()
+        shard = NamedSharding(mesh, P("cap"))
+        dev_key = (tuple(fc_list), fset_key, fs_programmed, n_cap,
+                   n_comb_xc, id(mesh))
+        dev_banks = _DEV_BANK_CACHE.get(dev_key)
+        if dev_banks is None:
+            banks = np.stack([
+                _fc_bank(fc_list[b], fset_key, fs_programmed, n_cap,
+                         n_comb_xc, s0, win_rows)
+                for b in range(B)])
+            dev_banks = jax.device_put(jnp.asarray(banks), shard)
+            if len(_DEV_BANK_CACHE) >= 8:
+                _DEV_BANK_CACHE.pop(next(iter(_DEV_BANK_CACHE)))
+            _DEV_BANK_CACHE[dev_key] = dev_banks
+        if capbufs.dtype == np.uint8:
+            cap2 = pad_capture(capbufs, pad)       # (B, 2, pad_len) u8
+        else:
+            cap2 = pad_capture(
+                np.stack([capbufs.real, capbufs.imag],
+                         1).astype(np.float32), pad)
+        bases_j = jnp.asarray(bases)
+        interpret = jax.default_backend() == "cpu"
+
+        def local_scan(cap_loc, bank_loc):
+            def one(args):
+                c, bk = args
+                packed, single, _ = xcorr_core_pallas(
+                    c, bk, bases_j, None, n_comb_xc, n_comb_sp,
+                    ds_comb_arm, tile=DEFAULT_TILE, halo=s_col,
+                    n_tile=n_tile, interpret=interpret)
+                return peak_search_device(packed, single, r_norm,
+                                          ds_comb_arm,
+                                          max_peaks=max_peaks)
+
+            return jax.lax.map(one, (cap_loc, bank_loc))
+
+        sweep = shard_map(local_scan, mesh=mesh,
+                          in_specs=(P("cap"), P("cap")),
+                          out_specs=P("cap"), check_rep=False)
+        cap_dev = jax.device_put(jnp.asarray(cap2), shard)
+        tables = np.asarray(jax.jit(sweep)(cap_dev, dev_banks))
+    else:
+        cc = _to_complex(capbufs)
+        cap_ri = np.stack([cc.real, cc.imag], -1).astype(np.float32)
+        tre = np.stack([t.real for t in tpls]).astype(np.float32)
+        tim = np.stack([t.imag for t in tpls]).astype(np.float32)
+
+        def scan_one(cap, tr, ti, st):
+            packed, single, _ = _xcorr_core(cap, tr, ti, st,
+                                            n_comb_sp=n_comb_sp,
+                                            ds_comb_arm=ds_comb_arm)
+            return peak_search_device(packed, single, r_norm, ds_comb_arm,
+                                      max_peaks=max_peaks)
+
+        sweep = jax.vmap(scan_one)
+        args = [jax.device_put(jnp.asarray(x), shard)
+                for x in (cap_ri, tre, tim, starts)]
+        tables = np.asarray(jax.jit(sweep)(*args))
 
     out: List[List[Cell]] = []
     for b, fc in enumerate(fc_list):
@@ -103,7 +209,8 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             from lte_cell_scanner_tpu.search.cell_search import \
                 detection_threshold
 
-            r = xcorr_pss(capbufs[b], f_search_set, ds_comb_arm, fc, fc,
+            r = xcorr_pss(_to_complex(capbufs, b), f_search_set,
+                          ds_comb_arm, fc, fc,
                           fs_programmed, backend="numpy")
             z_th1 = detection_threshold(r.sp_incoherent, r.n_comb_xc,
                                         ds_comb_arm)
@@ -139,13 +246,23 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     if thresh2_n_sigma is None:
         thresh2_n_sigma = THRESH2_N_SIGMA
     capbufs = np.asarray(capbufs)
-    B, n_cap = capbufs.shape
+    if capbufs.dtype == np.uint8:
+        B, _, n_cap = capbufs.shape
+    else:
+        B, n_cap = capbufs.shape
     peaks = sharded_fc_sweep(capbufs, fc_list, f_search_set, mesh,
                              fs_programmed)
 
     # One flattened capture stack; every candidate carries its base.
-    flat = np.stack([capbufs.real, capbufs.imag], -1).astype(np.float32)
-    cap_dev = jnp.asarray(flat.reshape(B * n_cap, 2))
+    if capbufs.dtype == np.uint8:
+        cap_dev = jax.jit(
+            lambda u: jnp.moveaxis((u.astype(jnp.float32) - 127.0)
+                                   / 128.0, 1, 2).reshape(B * n_cap, 2)
+        )(jnp.asarray(capbufs))
+    else:
+        flat = np.stack([capbufs.real, capbufs.imag],
+                        -1).astype(np.float32)
+        cap_dev = jnp.asarray(flat.reshape(B * n_cap, 2))
     all_cells, bases = [], []
     for b in range(B):
         for c in peaks[b]:

@@ -169,3 +169,42 @@ def test_sharded_sweep_e2e_mib(capbuf_0000):
                 (w.n_rb_dl, w.n_ports, w.sfn, w.cp_type)
             assert abs(g.freq_superfine - w.freq_superfine) < 0.5
     assert {c.n_id_cell() for c in deduped} >= {271, 277, 90}
+
+
+def test_sharded_fc_sweep_pallas_path(capbuf_0000):
+    """The TEA-Pallas DP scan (the TPU production path, interpret-mode
+    here) produces the same peak lists as the XLA core."""
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_fc_sweep)
+
+    cap0, fc0 = capbuf_0000
+    caps = np.stack([cap0[:48000], cap0[:48000]])
+    fcs = [fc0, fc0 + 100e3]
+    fset = np.arange(-2, 3) * 5e3
+    mesh = make_cap_mesh(2)
+    ref = sharded_fc_sweep(caps, fcs, fset, mesh, use_pallas=False)
+    got = sharded_fc_sweep(caps, fcs, fset, mesh, use_pallas=True)
+    for b in range(2):
+        assert len(got[b]) == len(ref[b]) > 0
+        for g, r in zip(got[b], ref[b]):
+            assert (g.n_id_2, g.ind, g.freq) == (r.n_id_2, r.ind, r.freq)
+            assert abs(g.pss_pow - r.pss_pow) < 1e-4 * r.pss_pow
+
+
+def test_sharded_sweep_uint8_radio_bytes(capbuf_0000):
+    """uint8 (B, 2, n) radio-byte captures run the whole sharded sweep
+    (scan + full MIB decode) with on-device conversion."""
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_search_sweep)
+
+    cap0, fc0 = capbuf_0000
+    planes = np.stack([cap0.real, cap0.imag])
+    u8 = np.clip(np.round(planes * 128.0 + 127.0), 0, 255).astype(np.uint8)
+    caps = np.stack([u8, u8])
+    fcs = [fc0, fc0 + 100e3]
+    fset = np.arange(-15, 16) * 5e3
+    per_cap, deduped = sharded_search_sweep(caps, fcs, fset,
+                                            make_cap_mesh(2))
+    for b in range(2):
+        assert {c.n_id_cell() for c in per_cap[b]} == {271, 277}
+        assert all(c.n_rb_dl == 50 for c in per_cap[b])
