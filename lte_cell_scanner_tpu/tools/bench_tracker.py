@@ -71,8 +71,8 @@ def _collect_pdus(seconds: float):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--cells", type=int, default=96)
-    ap.add_argument("--seconds", type=float, default=0.4)
-    ap.add_argument("--chunk-ms", type=float, default=400.0,
+    ap.add_argument("--seconds", type=float, default=1.2)
+    ap.add_argument("--chunk-ms", type=float, default=300.0,
                     help="signal per engine cycle (dispatch cadence)")
     args = ap.parse_args(argv)
 
@@ -83,6 +83,10 @@ def main(argv=None):
         n_need = len(pdus)
     pdus = pdus[:n_need]
     chunk = max(1, int(args.chunk_ms / 1000 * n_sym_s))
+    if len(pdus) <= chunk:
+        # Never let warm-up consume the whole signal: keep >= 2 timed
+        # chunks or the measurement degenerates to 0 s.
+        chunk = max(1, len(pdus) // 3)
 
     M = args.cells
     state = GlobalState(fc_requested=739e6, fc_programmed=739e6,

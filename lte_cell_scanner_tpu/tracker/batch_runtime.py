@@ -863,7 +863,13 @@ def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
     ac, ac_np = bf.ac_fd_batch(cc, sp_c, np_c)
 
     # AC aggregation per cell (diagnostics; weight-summed on device).
+    # Rows with degenerate power (padding, all-zero windows) produce
+    # non-finite ac values — zero-weight them instead of poisoning the
+    # per-cell sum with NaN.
     w = 1.0 / jnp.maximum(ac_np, 1e-30)
+    finite = jnp.all(jnp.isfinite(ac), axis=-1) & jnp.isfinite(w)
+    w = jnp.where(finite, w, 0.0)
+    ac = jnp.where(finite[..., None], ac, 0.0)
     ac_sum = jax.ops.segment_sum(ac * w[..., None], seg_id,
                                  num_segments=n_seg)
     acw_sum = jax.ops.segment_sum(w, seg_id, num_segments=n_seg)
