@@ -41,8 +41,17 @@ from lte_cell_scanner_tpu.models.sss import sss_fd_all
 from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cmul, _cconj
 from lte_cell_scanner_tpu.utils.dsp import matlab_range, wrap
 
-N_REP = 16   # max PSS repetitions in an 80 ms capture (ceil(153600/9600))
-N_SSS = 16   # max PSS/SSS pairs available to the fine FOE
+N_REP = 16   # PSS repetitions in an 80 ms capture (ceil(153600/9600))
+N_SSS = 16   # PSS/SSS pairs available to the fine FOE in 80 ms
+
+
+def _n_rep_for(n_cap: int) -> int:
+    """Repetition-axis size for a capture: all of a standard 80 ms
+    capture's 16 half-frames, growing in steps of 4 for longer captures
+    (the host path combines EVERY repetition; truncating would break
+    backend parity). Steps of 4 keep jit cache keys few."""
+    need = -(-n_cap // HALF_FRAME)
+    return max(N_REP, -(-need // 4) * 4)
 
 
 def _bucket(n: int, lo: int = 4) -> int:
@@ -135,15 +144,15 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         cap_bases = [0] * len(cells)
     del fc_requested, fc_programmed, fs_programmed  # per-cell (sweeps mix fcs)
     p = SyncPlan(
-        pss_idx=np.zeros((B, N_REP), np.int32),
-        rep_mask=np.zeros((B, N_REP), np.float32),
+        pss_idx=np.zeros((B, _n_rep_for(n_cap)), np.int32),
+        rep_mask=np.zeros((B, _n_rep_for(n_cap)), np.float32),
         foc=np.zeros(B, np.float32),
         inv_fs=np.zeros(B, np.float32),
         n_id_2=np.zeros(B, np.int32),
-        foe_pss=np.zeros((B, 2, 2, N_SSS), np.int32),
-        foe_sss=np.zeros((B, 2, 2, N_SSS), np.int32),
-        foe_mask=np.zeros((B, 2, 2, N_SSS), np.float32),
-        foe_seq=np.zeros((B, 2, 2, N_SSS), np.int32),
+        foe_pss=np.zeros((B, 2, 2, _n_rep_for(n_cap)), np.int32),
+        foe_sss=np.zeros((B, 2, 2, _n_rep_for(n_cap)), np.int32),
+        foe_mask=np.zeros((B, 2, 2, _n_rep_for(n_cap)), np.float32),
+        foe_seq=np.zeros((B, 2, 2, _n_rep_for(n_cap)), np.int32),
         foe_phase=np.zeros((B, 2, 2), np.float32),
         foe_conv=np.zeros((B, 2), np.float32),
         freq=np.zeros(B, np.float64),
@@ -165,7 +174,7 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
                                    n_cap - 125 - 9)
         locs = np.round(pss_loc_set).astype(np.int64) + 9 - 2
         locs = locs[locs + 128 <= n_cap]
-        n_rep = min(len(locs), N_REP)
+        n_rep = min(len(locs), _n_rep_for(n_cap))
         p.pss_idx[b, :n_rep] = locs[:n_rep] + cap_bases[b]
         p.rep_mask[b, :n_rep] = 1.0
         p.foc[b] = -cell.freq
@@ -204,7 +213,7 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
                     sn0 = 0
                 loc_set = matlab_range(first_sss, HALF_FRAME * u,
                                        n_cap - 127 - dist - 100)
-                n_sss = min(len(loc_set), N_SSS)
+                n_sss = min(len(loc_set), _n_rep_for(n_cap))
                 sss_locs = np.round(loc_set[:n_sss]).astype(np.int64)
                 p.foe_sss[b, oi, ci, :n_sss] = sss_locs + cap_bases[b]
                 p.foe_pss[b, oi, ci, :n_sss] = sss_locs + dist + cap_bases[b]
@@ -390,7 +399,11 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
     sss_raw = sss_raw * known[..., None]
 
     fh2 = _cabs2(fh_sm)
-    w = fh2 / (2.0 * fh2 * fnp[..., None] + (fnp ** 2)[..., None])
+    # Zero-guard like _combine: an all-zero padding window gives
+    # fh2 = fnp = 0 and an unguarded 0/0 NaN would survive the
+    # foe_mask multiply (NaN * 0 = NaN) and poison the candidate.
+    fnp_s = jnp.where(fnp > 0, fnp, 1.0)
+    w = fh2 / (2.0 * fh2 * fnp_s[..., None] + (fnp_s ** 2)[..., None])
     m_all = jnp.sum(_cmul(_cconj(sss_raw), fh_raw)
                     * (w * foe_mask[..., None])[..., None],
                     axis=(-3, -2))                         # (B, 2, 2, 2ri)

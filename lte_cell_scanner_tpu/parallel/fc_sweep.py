@@ -39,26 +39,29 @@ _DEV_BANK_CACHE: dict = {}   # sweep-key -> device-resident sharded banks
 
 
 def _to_complex(capbufs: np.ndarray, b: int = None):
-    """uint8 (B, 2, n) planes -> complex (B, n) (pass-through otherwise)."""
+    """uint8 (B, 2, n) planes -> complex (B, n) (pass-through otherwise);
+    with ``b`` converts only that capture."""
     if capbufs.dtype != np.uint8:
         return capbufs if b is None else capbufs[b]
+    if b is not None:
+        capbufs = capbufs[b:b + 1]
     f = (capbufs.astype(np.float32) - 127.0) / 128.0
     c = f[:, 0] + 1j * f[:, 1]
-    return c if b is None else c[b]
+    return c if b is None else c[0]
 
 
-@functools.lru_cache(maxsize=512)
-def _fc_bank(fc: float, fset_key: bytes, fs_programmed: float,
-             n_cap: int, n_comb_xc: int, s0: int,
+@functools.lru_cache(maxsize=32)   # ~4 MB/bank at production shapes
+def _fc_bank(fc: float, fc_prog: float, fset_key: bytes,
+             fs_programmed: float, n_cap: int, n_comb_xc: int, s0: int,
              win_rows: int) -> np.ndarray:
     """Cached per-carrier TEA template bank for the DP sweep (the bank
     embeds fc's k_factor fold shifts; sweeps revisit carriers)."""
     from lte_cell_scanner_tpu.ops.xcorr_pallas import _tea_bank
 
     f_search_set = np.frombuffer(fset_key, dtype=np.float64)
-    tpl = shifted_templates(f_search_set, fc, fc,
+    tpl = shifted_templates(f_search_set, fc, fc_prog,
                             fs_programmed).reshape(-1, PSS_TD_LEN)
-    st = fold_start_indices(f_search_set, n_comb_xc, fc, fc,
+    st = fold_start_indices(f_search_set, n_comb_xc, fc, fc_prog,
                             fs_programmed)
     d = (st - np.arange(n_comb_xc)[None, :] * HALF_FRAME).astype(np.int64)
     return _tea_bank(tpl, d, s0, win_rows, "f32")
@@ -74,7 +77,9 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                      fs_programmed: float = 1.92e6,
                      ds_comb_arm: int = DS_COMB_ARM,
                      max_peaks: int = MAX_PEAKS,
-                     use_pallas: bool = None) -> List[List[Cell]]:
+                     use_pallas: bool = None,
+                     fc_prog_list: Sequence[float] = None
+                     ) -> List[List[Cell]]:
     """Scan B captures (one per center frequency) data-parallel over the
     ``cap`` mesh axis. Returns the candidate peak list per capture.
 
@@ -89,12 +94,17 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
 
     ``capbufs`` may be complex (B, n_cap) or raw radio bytes — uint8
     (B, 2, n_cap) re/im planes, converted on device (4x less uplink).
+
+    ``fc_prog_list`` carries the tuner's actually-programmed carriers
+    (defaults to fc_list) — the k_factor arithmetic uses it exactly as
+    the per-fc path does.
     """
     capbufs = np.asarray(capbufs)
     if capbufs.dtype == np.uint8:
         B, _, n_cap = capbufs.shape
     else:
         B, n_cap = capbufs.shape
+    fcp = list(fc_list) if fc_prog_list is None else list(fc_prog_list)
     n_shards = mesh.shape["cap"]
     if B % n_shards:
         raise ValueError(f"B={B} not divisible by cap shards {n_shards}")
@@ -102,8 +112,9 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     n_lags = n_cap - (PSS_TD_LEN - 1)
     # The fold count must be uniform across the batch (static shapes):
     # take the min over the swept carriers.
-    n_comb_xc = min(n_comb_xc_for(n_lags, f_search_set, fc, fc,
-                                  fs_programmed) for fc in fc_list)
+    n_comb_xc = min(n_comb_xc_for(n_lags, f_search_set, fc_list[b],
+                                  fcp[b], fs_programmed)
+                    for b in range(B))
     n_comb_sp = n_comb_sp_for(n_cap)
     r_norm = r_th1_normalized(n_comb_xc, ds_comb_arm)
     if use_pallas is None:
@@ -111,13 +122,9 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
 
     n_f = len(f_search_set)
     starts = np.zeros((B, n_f, n_comb_xc), np.int32)
-    tpls = []
-    for b, fc in enumerate(fc_list):
-        tpls.append(shifted_templates(f_search_set, fc, fc,
-                                      fs_programmed).reshape(-1,
-                                                             PSS_TD_LEN))
-        starts[b] = fold_start_indices(f_search_set, n_comb_xc, fc, fc,
-                                       fs_programmed)
+    for b in range(B):
+        starts[b] = fold_start_indices(f_search_set, n_comb_xc,
+                                       fc_list[b], fcp[b], fs_programmed)
 
     shard = NamedSharding(mesh, P("cap"))
     if use_pallas:
@@ -133,18 +140,19 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             n_cap, starts.reshape(B * n_f, n_comb_xc), tile=DEFAULT_TILE)
         d_all = d_all.reshape(B, n_f, n_comb_xc)
         # Sweeps revisit the same carriers batch after batch — cache the
-        # (fc, grid) -> bank construction (a ~0.4 MB table per fc) AND
+        # (fc, grid) -> bank construction (~4 MB/fc at production shapes) AND
         # the device-resident sharded upload (~16 MB/sweep otherwise
         # re-crossing the link every call).
         fset_key = f_search_set.tobytes()
-        shard = NamedSharding(mesh, P("cap"))
-        dev_key = (tuple(fc_list), fset_key, fs_programmed, n_cap,
-                   n_comb_xc, id(mesh))
+        mesh_key = (tuple(str(d) for d in mesh.devices.flat),
+                    tuple(mesh.shape.items()))
+        dev_key = (tuple(fc_list), tuple(fcp), fset_key, fs_programmed,
+                   n_cap, n_comb_xc, mesh_key)
         dev_banks = _DEV_BANK_CACHE.get(dev_key)
         if dev_banks is None:
             banks = np.stack([
-                _fc_bank(fc_list[b], fset_key, fs_programmed, n_cap,
-                         n_comb_xc, s0, win_rows)
+                _fc_bank(fc_list[b], fcp[b], fset_key, fs_programmed,
+                         n_cap, n_comb_xc, s0, win_rows)
                 for b in range(B)])
             dev_banks = jax.device_put(jnp.asarray(banks), shard)
             if len(_DEV_BANK_CACHE) >= 8:
@@ -180,6 +188,9 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     else:
         cc = _to_complex(capbufs)
         cap_ri = np.stack([cc.real, cc.imag], -1).astype(np.float32)
+        tpls = [shifted_templates(f_search_set, fc_list[b], fcp[b],
+                                  fs_programmed).reshape(-1, PSS_TD_LEN)
+                for b in range(B)]
         tre = np.stack([t.real for t in tpls]).astype(np.float32)
         tim = np.stack([t.imag for t in tpls]).astype(np.float32)
 
@@ -197,7 +208,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
 
     out: List[List[Cell]] = []
     for b, fc in enumerate(fc_list):
-        cells = peaks_to_cells(tables[b], f_search_set, fc, fc,
+        cells = peaks_to_cells(tables[b], f_search_set, fc, fcp[b],
                                fs_programmed)
         if len(cells) >= max_peaks:
             # Device peak table full: the fixed-trip loop may have
@@ -210,13 +221,13 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                 detection_threshold
 
             r = xcorr_pss(_to_complex(capbufs, b), f_search_set,
-                          ds_comb_arm, fc, fc,
+                          ds_comb_arm, fc, fcp[b],
                           fs_programmed, backend="numpy")
             z_th1 = detection_threshold(r.sp_incoherent, r.n_comb_xc,
                                         ds_comb_arm)
             cells = peak_search(r.xc_incoherent_collapsed_pow,
                                 r.xc_incoherent_collapsed_frq, z_th1,
-                                f_search_set, fc, fc,
+                                f_search_set, fc, fcp[b],
                                 r.xc_incoherent_single, ds_comb_arm,
                                 fs_programmed)
         out.append(cells)
@@ -227,7 +238,8 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                          f_search_set: np.ndarray, mesh: Mesh,
                          fs_programmed: float = 1.92e6,
                          thresh2_n_sigma: float = None,
-                         dedup_cells: bool = True):
+                         dedup_cells: bool = True,
+                         fc_prog_list: Sequence[float] = None):
     """Full cell search of a whole fc sweep: DP-sharded scan + batched
     device decode of EVERY candidate in the sweep.
 
@@ -251,7 +263,7 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     else:
         B, n_cap = capbufs.shape
     peaks = sharded_fc_sweep(capbufs, fc_list, f_search_set, mesh,
-                             fs_programmed)
+                             fs_programmed, fc_prog_list=fc_prog_list)
 
     # One flattened capture stack; every candidate carries its base.
     if capbufs.dtype == np.uint8:
@@ -280,11 +292,11 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         res = decode_mib_batch([c for c, _ in group], None, 0.0, 0.0,
                                fs_programmed, cap_dev=cap_dev, n_cap=n_cap,
                                cap_bases=[base for _, base in group])
-        decoded.extend(res)
-    good = [c for c in decoded if c.n_rb_dl >= 0]
+        decoded.extend(zip(res, (base for _, base in group)))
+    good = [(c, base) for c, base in decoded if c.n_rb_dl >= 0]
 
     per_cap: List[List[Cell]] = [[] for _ in range(B)]
-    fc_of = {float(fc): i for i, fc in enumerate(fc_list)}
-    for c in good:
-        per_cap[fc_of[float(c.fc_requested)]].append(c)
-    return per_cap, (dedup(good) if dedup_cells else good)
+    for c, base in good:
+        per_cap[base // n_cap].append(c)
+    good_cells = [c for c, _ in good]
+    return per_cap, (dedup(good_cells) if dedup_cells else good_cells)

@@ -171,16 +171,17 @@ def _batched_sweep(args, source, fc_search_set, f_search_set,
     from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
                                                         sharded_search_sweep)
 
-    caps, fcs = [], []
+    caps, fcs, fc_progs = [], [], []
     for fc_requested in fc_search_set:
         if verbosity >= 1:
             print(f"Capturing {fc_requested / 1e6:.4g} MHz ...")
         try:
-            capbuf, _fc_prog = source.capture(fc_requested)
+            capbuf, fc_prog = source.capture(fc_requested)
         except FileNotFoundError as e:
             sys.exit(f"Error: no recorded capture to load: {e.filename}")
         caps.append(capbuf)
         fcs.append(fc_requested)
+        fc_progs.append(fc_prog)
     import jax
 
     B = len(caps)
@@ -189,7 +190,7 @@ def _batched_sweep(args, source, fc_search_set, f_search_set,
     t0 = time.time()
     per_cap, deduped = sharded_search_sweep(
         np.stack(caps), fcs, np.asarray(f_search_set),
-        make_cap_mesh(n_shards))
+        make_cap_mesh(n_shards), fc_prog_list=fc_progs)
     if verbosity >= 1:
         for b, fc in enumerate(fcs):
             for c in per_cap[b]:

@@ -43,7 +43,7 @@ def _get_capture():
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--precision", choices=("f32", "bf16"), default="f32")
-    p.add_argument("--layout", choices=("roll", "tea"), default="roll")
+    p.add_argument("--layout", choices=("roll", "tea"), default="tea")
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--iters", type=int, default=128)
     p.add_argument("--ppm", type=float, default=100.0)
@@ -113,9 +113,11 @@ def main(argv=None):
         times = {}
         for n in (args.iters // 4, args.iters):
             run = chain(body, n)
-            run(cap_j).block_until_ready()          # compile
+            np.asarray(run(cap_j))                  # compile
             t0 = time.time()
-            run(cap_j).block_until_ready()
+            # np.asarray forces a real D2H fetch; block_until_ready can
+            # return on dispatch ACK through the tunnel (see CLAUDE.md).
+            np.asarray(run(cap_j))
             times[n] = time.time() - t0
         n1, n2 = sorted(times)
         per = (times[n2] - times[n1]) / (n2 - n1)

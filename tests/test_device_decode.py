@@ -135,3 +135,43 @@ def test_aligned_wins_blend_identity():
         # j holds each lane's original in-window sample index.
         lane = np.arange(128)
         assert (j[i].astype(int) == (lane - off % 128) % 128).all()
+
+
+def test_device_sync_long_capture_uses_all_reps():
+    """Captures longer than 80 ms grow the device plan's repetition axis
+    (the host path combines EVERY repetition; a fixed 16-slot table
+    would silently truncate and break backend parity)."""
+    from lte_cell_scanner_tpu.io.simulator import synthetic_capture
+    from lte_cell_scanner_tpu.ops.sync_jax import _n_rep_for, sync_plan
+    from lte_cell_scanner_tpu.ops.xcorr import xcorr_pss
+
+    cap = synthetic_capture(n_id_1=12, n_id_2=1, snr_db=10.0,
+                            freq_offset=4e3, n_subframes=120, seed=2)
+    assert len(cap) > 153600
+    assert _n_rep_for(len(cap)) >= -(-len(cap) // 9600)
+
+    fset = np.arange(-2, 3) * 5e3
+    r = xcorr_pss(cap, fset, DS_COMB_ARM, 739e6, 739e6, 1.92e6,
+                  backend="numpy")
+    z = detection_threshold(r.sp_incoherent, r.n_comb_xc)
+    peaks = peak_search(r.xc_incoherent_collapsed_pow,
+                        r.xc_incoherent_collapsed_frq, z, fset, 739e6,
+                        739e6, r.xc_incoherent_single, DS_COMB_ARM)
+    assert peaks
+    plan = sync_plan(peaks, len(cap), 739e6, 739e6, 1.92e6)
+    # The plan actually uses repetitions beyond the 80 ms table size.
+    assert plan.rep_mask.shape[1] > 16
+    assert plan.rep_mask[0, 16:].sum() > 0
+
+    got = sss_foe_batch(peaks, cap, 739e6, 739e6, 1.92e6,
+                        THRESH2_N_SIGMA)
+    want = [sss_detect(dataclasses.replace(p), cap, THRESH2_N_SIGMA,
+                       739e6, 739e6, 1.92e6) for p in peaks]
+    want = [pss_sss_foe(w, cap, 739e6, 739e6, 1.92e6)
+            if w.n_id_1 >= 0 else w for w in want]
+    for g, w in zip(got, want):
+        assert g.n_id_1 == w.n_id_1
+        if w.n_id_1 >= 0:
+            assert g.cp_type == w.cp_type
+            assert abs(g.frame_start - w.frame_start) < 1e-6
+            assert abs(g.freq_fine - w.freq_fine) < 1.0

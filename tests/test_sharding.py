@@ -208,3 +208,31 @@ def test_sharded_sweep_uint8_radio_bytes(capbuf_0000):
     for b in range(2):
         assert {c.n_id_cell() for c in per_cap[b]} == {271, 277}
         assert all(c.n_rb_dl == 50 for c in per_cap[b])
+
+
+def test_sharded_sweep_fc_programmed_and_duplicate_carriers(capbuf_0000):
+    """fc_programmed threads through the DP sweep's k_factor arithmetic
+    (parity vs the host path given the same tuner model), and duplicate
+    carriers in fc_list keep their own per-capture result lists."""
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_search_sweep)
+    from lte_cell_scanner_tpu.search.cell_search import cell_search
+
+    cap0, fc0 = capbuf_0000
+    caps = np.stack([cap0, cap0])
+    fcs = [fc0, fc0]                        # duplicate carrier
+    fcp = [fc0 * (1.0 + 5e-6)] * 2          # tuner off by 5 ppm
+    fset = np.arange(-15, 16) * 5e3
+    per_cap, _ = sharded_search_sweep(caps, fcs, fset, make_cap_mesh(2),
+                                      fc_prog_list=fcp)
+    host = cell_search(cap0, fc0, fcp[0], f_search_set=fset,
+                       backend="numpy", interp="freq_time")
+    want = sorted(c.n_id_cell() for c in host)
+    assert want, "host path must decode cells with this tuner model"
+    for b in range(2):
+        got = sorted(c.n_id_cell() for c in per_cap[b])
+        assert got == want
+        for g, h in zip(sorted(per_cap[b], key=lambda c: c.n_id_cell()),
+                        sorted(host, key=lambda c: c.n_id_cell())):
+            assert g.n_rb_dl == h.n_rb_dl
+            assert abs(g.freq_superfine - h.freq_superfine) < 0.5
