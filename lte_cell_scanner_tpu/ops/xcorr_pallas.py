@@ -171,6 +171,20 @@ def _kernel_tea(bases_ref, cap_ref, tpl_ref, acc_ref, *, n_ch, tile,
         acc_ref[:, pl.ds(tcol, tile)] += upd
 
 
+def _tea_fits(starts: np.ndarray) -> bool:
+    """True if the fold misalignment range fits a TEA template bank.
+
+    d grows with ppm and with capture length (d ~ m*9600*|1-k|), and the
+    embedded bank needs win_rows ~ 137 + 2*max|d| <= WIN_PAD + 1; beyond
+    that (ppm > ~450 at 80 ms, or captures several times longer) the
+    caller falls back to the roll layout, whose halo grows freely."""
+    n_fold = starts.shape[-1]
+    d = starts - np.arange(n_fold)[None, :] * HALF_FRAME
+    s0 = int(max(0, -d.min()))
+    win_rows = 137 + s0 + int(max(0, d.max()))
+    return -(-win_rows // 16) * 16 <= WIN_PAD + 1 and 128 - s0 >= 0
+
+
 def plan_tiles_tea(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE):
     """Host-side schedule for the TEA kernel.
 
@@ -430,7 +444,8 @@ def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
                             fs_programmed).reshape(-1, PSS_TD_LEN)
     starts_ = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
                                  fc_programmed, fs_programmed)
-    if layout == "tea":
+    if (layout == "tea" and _tea_fits(starts_)
+            and HALF_FRAME % tile == 0 and tile % 128 == 0):
         bases, d, s0, s_col, win_rows, n_tile, pad = plan_tiles_tea(
             capbuf_len, starts_, tile=tile)
         bank = _tea_bank(tpl, d, s0, win_rows, precision)

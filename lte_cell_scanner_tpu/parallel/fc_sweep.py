@@ -128,6 +128,10 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
 
     shard = NamedSharding(mesh, P("cap"))
     if use_pallas:
+        from lte_cell_scanner_tpu.ops.xcorr_pallas import _tea_fits
+        if not _tea_fits(starts.reshape(B * n_f, n_comb_xc)):
+            use_pallas = False   # extreme ppm/length: XLA core instead
+    if use_pallas:
         from jax.experimental.shard_map import shard_map
 
         from lte_cell_scanner_tpu.ops.xcorr_pallas import (

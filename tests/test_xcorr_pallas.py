@@ -122,3 +122,18 @@ def test_pallas_core_packed_and_uint8(layout):
     pow_u = np.asarray(packed_u, dtype=np.float64)[0:3]
     n2, lag = np.unravel_index(np.argmax(pow_u), pow_u.shape)
     assert n2 == 1 and abs(lag - 500) <= 2
+
+
+def test_scan_plan_tea_fallback_extreme_ppm():
+    """Fold misalignments beyond the TEA bank's embedding range fall
+    back to the roll layout (whose halo grows freely) instead of
+    asserting — e.g. a ±600 kHz hypothesis grid (~800 ppm)."""
+    fset = np.arange(-120, 121) * 5e3
+    bank, bases, offs, halo, n_tile, n_comb_xc, pad_len = scan_plan(
+        153600, fset, 739e6, 739e6, 1.92e6)
+    assert offs is not None          # roll layout artifacts
+    assert bank.ndim == 2
+    # and the standard grid still plans TEA
+    bank2, _, offs2, *_ = scan_plan(153600, np.arange(-15, 16) * 5e3,
+                                    739e6, 739e6, 1.92e6)
+    assert offs2 is None and bank2.ndim == 3
