@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "data-parallel across devices and decode every "
                         "candidate in two batched dispatches (jax "
                         "backend; highest throughput, deferred output)")
+    p.add_argument("--wideband", metavar="FILE", default=None,
+                   help="search a single wideband .it recording (fs an "
+                        "integer multiple of 1.92 Msps, fc field = band "
+                        "center): every raster carrier in "
+                        "[freq-start, freq-end] is channelized out of "
+                        "the one capture and swept data-parallel")
+    p.add_argument("--fs-in", type=float, default=None,
+                   help="wideband recording's sample rate (Hz; default: "
+                        "the .it file's fs field)")
     return p
 
 
@@ -104,6 +113,9 @@ def main(argv=None) -> int:
     if verbosity >= 2:
         print(f"Searching {len(fc_search_set)} center frequencies x "
               f"{len(f_search_set)} offset hypotheses")
+
+    if args.wideband:
+        return _wideband_sweep(args, f_search_set, verbosity)
 
     if args.simulate:
         source = CaptureSource("simulator", data_dir=args.data_dir,
@@ -159,6 +171,44 @@ def print_results(cells_final, correction: float) -> int:
               f"{db10(c.pss_pow):5.3g} {cp} {c.n_rb_dl:3d} {ph} {pr} "
               f"{correction_new:.20g}")
     return 0
+
+
+def _wideband_sweep(args, f_search_set, verbosity: int) -> int:
+    """One wideband recording -> every raster carrier in range, swept
+    data-parallel (search/wideband.py)."""
+    import numpy as np
+
+    from lte_cell_scanner_tpu.io import load_it
+    from lte_cell_scanner_tpu.search.wideband import (wideband_carriers,
+                                                      wideband_search_sweep)
+
+    if args.fs_in is None:
+        sys.exit("Error: --wideband requires --fs-in (the recording's "
+                 "sample rate in Hz)")
+    d = load_it(args.wideband)
+    wide = d["capbuf"]
+    fc_center = float(np.asarray(d["fc"]).ravel()[0])
+    fcs = wideband_carriers(args.fs_in, fc_center, args.freq_start,
+                            args.freq_end)
+    if not fcs:
+        sys.exit("Error: no raster carriers of [freq-start, freq-end] "
+                 "fit the recording's usable bandwidth")
+    if verbosity >= 1:
+        print(f"Channelizing {len(fcs)} carrier(s) out of the "
+              f"{args.fs_in / 1e6:.4g} Msps recording at "
+              f"{fc_center / 1e6:.4g} MHz ...")
+    t0 = time.time()
+    per_cap, deduped = wideband_search_sweep(
+        wide, args.fs_in, fc_center, fcs, np.asarray(f_search_set))
+    if verbosity >= 1:
+        for b, fc in enumerate(fcs):
+            for c in per_cap[b]:
+                print(f"  {fc / 1e6:.4g} MHz: cell ID {c.n_id_cell()}: "
+                      f"{c.n_rb_dl} RB, {c.cp_type} CP, foff "
+                      f"{c.freq_superfine:+.1f} Hz")
+        print(f"  wideband sweep: {len(fcs)} carrier(s) in "
+              f"{time.time() - t0:.2f}s")
+    return print_results(deduped, args.correction)
 
 
 def _batched_sweep(args, source, fc_search_set, f_search_set,

@@ -1,0 +1,77 @@
+"""Wideband channelized search: one wide capture -> multi-carrier sweep.
+
+Beyond-reference capability (search/wideband.py): a single 15.36 Msps
+recording carrying two cells at different 100 kHz-raster carriers must
+yield both through the channelizer + DP sharded sweep.
+"""
+
+import numpy as np
+
+from lte_cell_scanner_tpu.constants import FS_SEARCH
+from lte_cell_scanner_tpu.io.simulator import synthetic_capture
+from lte_cell_scanner_tpu.search.wideband import (wideband_carriers,
+                                                  wideband_search_sweep)
+from lte_cell_scanner_tpu.utils.dsp import interpft
+
+
+def _wide_two_cells(decim=8, f_a=2.0e6, f_b=-1.5e6, seed=9):
+    """Two simulated cells upconverted into one decim*1.92 Msps band."""
+    a = synthetic_capture(n_id_1=90, n_id_2=1, snr_db=20, freq_offset=3e3,
+                          n_subframes=90, seed=seed)
+    b = synthetic_capture(n_id_1=30, n_id_2=0, snr_db=20, freq_offset=-2e3,
+                          n_subframes=90, slot_start=6, sfn_start=400,
+                          seed=seed + 1)
+    fs_in = decim * FS_SEARCH
+    wa = interpft(a, len(a) * decim)
+    wb = interpft(b, len(b) * decim)
+    t = np.arange(len(wa))
+    wide = (wa * np.exp(2j * np.pi * f_a * t / fs_in)
+            + wb * np.exp(2j * np.pi * f_b * t / fs_in))
+    rng = np.random.default_rng(seed)
+    wide = wide + 0.001 * (rng.standard_normal(len(wide))
+                           + 1j * rng.standard_normal(len(wide)))
+    return wide, fs_in
+
+
+def test_wideband_carriers_raster():
+    fcs = wideband_carriers(15.36e6, 739e6, 735e6, 743e6)
+    assert all(abs(fc % 100e3) < 1e-6 for fc in fcs)
+    # usable span: +/- (7.68 MHz - 600 kHz) around center
+    assert min(fcs) >= 739e6 - 7.08e6 - 1
+    assert max(fcs) <= 739e6 + 7.08e6 + 1
+
+
+def test_wideband_two_cell_sweep():
+    wide, fs_in = _wide_two_cells()
+    fc_center = 739e6
+    fcs = [fc_center + 2.0e6, fc_center - 1.5e6, fc_center + 3.0e6]
+    per_cap, deduped = wideband_search_sweep(
+        wide, fs_in, fc_center, fcs, np.arange(-2, 3) * 5e3)
+    assert [c.n_id_cell() for c in per_cap[0]] == [271]
+    assert [c.n_id_cell() for c in per_cap[1]] == [90]
+    assert per_cap[2] == []                     # empty carrier
+    assert per_cap[0][0].n_rb_dl == 50
+    assert per_cap[1][0].n_rb_dl == 50
+    got = {c.n_id_cell(): c for c in deduped}
+    assert set(got) == {271, 90}
+    # Frequency estimates recover each cell's own offset.
+    assert abs(got[271].freq_superfine - 3e3) < 50
+    assert abs(got[90].freq_superfine + 2e3) < 50
+
+
+def test_wideband_cli(tmp_path, capsys):
+    """--wideband FILE --fs-in: the CLI channelizes the recording and
+    prints the dedup'd result table."""
+    from lte_cell_scanner_tpu.io.itfile import save_it
+    from lte_cell_scanner_tpu.search import cli
+
+    wide, fs_in = _wide_two_cells()
+    path = str(tmp_path / "wide.it")
+    save_it(path, {"capbuf": wide.astype(np.complex128),
+                   "fc": np.array([739e6])})
+    rc = cli.main(["-s", "741e6", "-p", "10",
+                   "--wideband", path, "--fs-in", str(fs_in)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "741 MHz: cell ID 271" in out
+    assert "271" in out.splitlines()[-2] + out.splitlines()[-1]
