@@ -39,13 +39,16 @@ _DEV_BANK_CACHE: dict = {}   # sweep-key -> device-resident sharded banks
 
 
 def _to_complex(capbufs: np.ndarray, b: int = None):
-    """uint8 (B, 2, n) planes -> complex (B, n) (pass-through otherwise);
-    with ``b`` converts only that capture."""
-    if capbufs.dtype != np.uint8:
+    """(B, 2, n) planes (uint8 radio bytes or float) -> complex (B, n)
+    (pass-through for complex input); with ``b``, only that capture."""
+    if capbufs.ndim != 3:
         return capbufs if b is None else capbufs[b]
     if b is not None:
         capbufs = capbufs[b:b + 1]
-    f = (capbufs.astype(np.float32) - 127.0) / 128.0
+    if capbufs.dtype == np.uint8:
+        f = (capbufs.astype(np.float32) - 127.0) / 128.0
+    else:
+        f = capbufs
     c = f[:, 0] + 1j * f[:, 1]
     return c if b is None else c[0]
 
@@ -98,9 +101,15 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     ``fc_prog_list`` carries the tuner's actually-programmed carriers
     (defaults to fc_list) — the k_factor arithmetic uses it exactly as
     the per-fc path does.
+
+    ``capbufs`` may also be a DEVICE-resident jax array of f32
+    (B, 2, n_cap) planes (the wideband channelizer's output) — the scan
+    then never moves the narrowband data through the host.
     """
-    capbufs = np.asarray(capbufs)
-    if capbufs.dtype == np.uint8:
+    is_dev = isinstance(capbufs, jax.Array)
+    if not is_dev:
+        capbufs = np.asarray(capbufs)
+    if capbufs.ndim == 3:
         B, _, n_cap = capbufs.shape
     else:
         B, n_cap = capbufs.shape
@@ -162,7 +171,12 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             if len(_DEV_BANK_CACHE) >= 8:
                 _DEV_BANK_CACHE.pop(next(iter(_DEV_BANK_CACHE)))
             _DEV_BANK_CACHE[dev_key] = dev_banks
-        if capbufs.dtype == np.uint8:
+        if is_dev:
+            front, total = pad
+            cap2 = jax.jit(lambda u: jnp.pad(
+                u, ((0, 0), (0, 0),
+                    (front, total - front - n_cap))))(capbufs)
+        elif capbufs.dtype == np.uint8:
             cap2 = pad_capture(capbufs, pad)       # (B, 2, pad_len) u8
         else:
             cap2 = pad_capture(
@@ -190,7 +204,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         cap_dev = jax.device_put(jnp.asarray(cap2), shard)
         tables = np.asarray(jax.jit(sweep)(cap_dev, dev_banks))
     else:
-        cc = _to_complex(capbufs)
+        cc = _to_complex(np.asarray(capbufs))
         cap_ri = np.stack([cc.real, cc.imag], -1).astype(np.float32)
         tpls = [shifted_templates(f_search_set, fc_list[b], fcp[b],
                                   fs_programmed).reshape(-1, PSS_TD_LEN)
@@ -224,7 +238,8 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             from lte_cell_scanner_tpu.search.cell_search import \
                 detection_threshold
 
-            r = xcorr_pss(_to_complex(capbufs, b), f_search_set,
+            r = xcorr_pss(_to_complex(np.asarray(capbufs), b),
+                          f_search_set,
                           ds_comb_arm, fc, fcp[b],
                           fs_programmed, backend="numpy")
             z_th1 = detection_threshold(r.sp_incoherent, r.n_comb_xc,
@@ -261,8 +276,10 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
 
     if thresh2_n_sigma is None:
         thresh2_n_sigma = THRESH2_N_SIGMA
-    capbufs = np.asarray(capbufs)
-    if capbufs.dtype == np.uint8:
+    is_dev = isinstance(capbufs, jax.Array)
+    if not is_dev:
+        capbufs = np.asarray(capbufs)
+    if capbufs.ndim == 3:
         B, _, n_cap = capbufs.shape
     else:
         B, n_cap = capbufs.shape
@@ -270,7 +287,11 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                              fs_programmed, fc_prog_list=fc_prog_list)
 
     # One flattened capture stack; every candidate carries its base.
-    if capbufs.dtype == np.uint8:
+    if is_dev:
+        cap_dev = jax.jit(
+            lambda u: jnp.moveaxis(u, 1, 2).reshape(B * n_cap, 2)
+        )(capbufs)
+    elif capbufs.dtype == np.uint8:
         cap_dev = jax.jit(
             lambda u: jnp.moveaxis((u.astype(jnp.float32) - 127.0)
                                    / 128.0, 1, 2).reshape(B * n_cap, 2)

@@ -75,3 +75,31 @@ def test_wideband_cli(tmp_path, capsys):
     assert rc == 0
     assert "741 MHz: cell ID 271" in out
     assert "271" in out.splitlines()[-2] + out.splitlines()[-1]
+
+
+def test_channelize_batch_matches_host():
+    """The one-dispatch device channelizer tracks the float64 host
+    channelizer (f32 + wrapped-phase rotation) per carrier."""
+    from lte_cell_scanner_tpu.io.frontend import decimate_capture
+    from lte_cell_scanner_tpu.search.wideband import channelize_batch
+
+    wide, fs_in = _wide_two_cells()
+    fcs = [739e6 + 2.0e6, 739e6 - 1.5e6, 739e6]
+    dev = np.asarray(channelize_batch(wide, fs_in, 739e6, fcs))
+    for i, fc in enumerate(fcs):
+        host = decimate_capture(wide, fs_in,
+                                freq_shift=fc - 739e6)[:dev.shape[2]]
+        got = dev[i, 0] + 1j * dev[i, 1]
+        scale = np.abs(host).max()
+        assert np.abs(got - host).max() < 2e-4 * scale
+
+
+def test_wideband_sweep_device_backend():
+    """backend='jax': channels stay device-resident end to end."""
+    wide, fs_in = _wide_two_cells()
+    fcs = [739e6 + 2.0e6, 739e6 - 1.5e6]
+    per_cap, deduped = wideband_search_sweep(
+        wide, fs_in, 739e6, fcs, np.arange(-2, 3) * 5e3, backend="jax")
+    assert [c.n_id_cell() for c in per_cap[0]] == [271]
+    assert [c.n_id_cell() for c in per_cap[1]] == [90]
+    assert {c.n_id_cell() for c in deduped} == {271, 90}
