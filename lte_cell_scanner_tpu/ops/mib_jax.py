@@ -46,7 +46,7 @@ from lte_cell_scanner_tpu.models.ratematch import _index_map
 from lte_cell_scanner_tpu.models.rs import RSDL
 from lte_cell_scanner_tpu.ops.pbch import N_RB_DL_TABLE, PHICH_RES_TABLE
 from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins
-from lte_cell_scanner_tpu.ops.tfg import CN, symbol_timestamps
+from lte_cell_scanner_tpu.ops.tfg import CN
 from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cconj, _cmul
 from lte_cell_scanner_tpu.utils.dsp import interp1
 
@@ -295,27 +295,58 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         ok=np.zeros(B, bool),
         cells=list(cells) + [cells[0]] * (B - len(cells)),
     )
-    for b, cell in enumerate(cells):
-        fc_req, fc_prog = cell.fc_requested, cell.fc_programmed
-        fs_prog = cell.fs_programmed
-        k_factor = (fc_req - cell.freq_fine) / fc_prog
-        ts = symbol_timestamps(cell, fs_prog, k_factor)
-        starts = np.round(ts).astype(np.int64)
-        if starts[-1] + 128 > n_cap or starts[0] < 0:
-            continue  # capture too short; cell fails MIB (host parity)
-        p.ok[b] = True
-        p.starts[b] = starts + cap_bases[b]
-        p.ts[b] = ts
-        p.late[b] = starts - ts
-        fs_eff = fs_prog * k_factor
-        p.phase0[b] = np.mod(-2.0 * np.pi * cell.freq_fine * starts
-                             / fs_eff, 2.0 * np.pi)
-        p.inwin[b] = -2.0 * np.pi * cell.freq_fine / fs_eff
-        p.omk_base[b] = (fc_prog - fc_req) / fc_prog
-        p.inv_fcp[b] = 1.0 / fc_prog
+    # Vectorized over the candidate axis (see sync_plan — the float64
+    # evaluation order of the original per-cell code is preserved so the
+    # plans stay bit-identical; only the per-cell constant-table copies
+    # remain a (cache-hit) loop).
+    n = len(cells)
+    if n == 0:
+        return p
+    fc_req = np.array([c.fc_requested for c in cells], np.float64)
+    fc_prog = np.array([c.fc_programmed for c in cells], np.float64)
+    fs_prog = np.array([c.fs_programmed for c in cells], np.float64)
+    freq_fine = np.array([c.freq_fine for c in cells], np.float64)
+    frame_st = np.array([c.frame_start for c in cells], np.float64)
+    base_v = np.asarray(list(cap_bases)[:n], np.int64)
 
+    k_factor = (fc_req - freq_fine) / fc_prog
+    u = 16.0 / FS_LTE * fs_prog * k_factor
+    # symbol_timestamps (ops/tfg.py:27-51), batched: seed + sequential
+    # cumsum of the per-symbol advances reproduces the scalar
+    # accumulation loop bit-exactly per row.
+    cp_off = 10.0 if cp_type == "normal" else 32.0
+    dft_loc = frame_st + cp_off * u
+    early = dft_loc - 0.01 * fs_prog * k_factor
+    dft_loc = np.where(early > -0.5, early, dft_loc)
+    if n_symb_dl == 6:
+        pat = np.full(n_ofdm - 1, 128.0 + 32.0)
+    else:
+        pat = np.tile(128.0 + np.array([9, 9, 9, 9, 9, 9, 10],
+                                       np.float64),
+                      (n_ofdm + 6) // 7)[:n_ofdm - 1]
+    incs = pat[None, :] * u[:, None]                        # (n, S-1)
+    ts = np.cumsum(np.concatenate([dft_loc[:, None], incs], axis=1),
+                   axis=1)                                  # (n, S)
+    starts = np.round(ts).astype(np.int64)
+    ok = (starts[:, -1] + 128 <= n_cap) & (starts[:, 0] >= 0)
+    # rows that fail keep all-zero plans (host parity: capture too
+    # short -> the cell fails MIB).
+    okf = ok[:, None]
+    p.ok[:n] = ok
+    p.starts[:n] = np.where(okf, starts + base_v[:, None], 0)
+    p.ts[:n] = np.where(okf, ts, 0.0)
+    p.late[:n] = np.where(okf, starts - ts, 0.0)
+    fs_eff = fs_prog * k_factor
+    p.phase0[:n] = np.where(okf, np.mod(
+        -2.0 * np.pi * freq_fine[:, None] * starts / fs_eff[:, None],
+        2.0 * np.pi), 0.0)
+    p.inwin[:n] = np.where(ok, -2.0 * np.pi * freq_fine / fs_eff, 0.0)
+    p.omk_base[:n] = np.where(ok, (fc_prog - fc_req) / fc_prog, 0.0)
+    p.inv_fcp[:n] = np.where(ok, 1.0 / fc_prog, 0.0)
+
+    for b in np.nonzero(ok)[0]:
         rs_conj, shifts, rows, colsv, scr_sign = _cell_tables(
-            cell.n_id_cell(), cp_type)
+            cells[b].n_id_cell(), cp_type)
         p.rs_conj[b] = np.sign(rs_conj)      # QPSK: components +/-1/sqrt2
         p.shifts[b] = shifts
         p.lower_first[b] = float(shifts[0, 0] < shifts[0, 1])

@@ -159,67 +159,82 @@ def sync_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         frame_start=np.zeros((B, 2), np.float64),
         valid=np.zeros(B, bool),
     )
-    for b, cell in enumerate(cells):
-        fc_req, fc_prog = cell.fc_requested, cell.fc_programmed
-        fs_prog = cell.fs_programmed
-        k_factor = (fc_req - cell.freq) / fc_prog
-        fs_eff = fs_prog * k_factor
-        u = 16.0 / FS_LTE * fs_prog * k_factor
-        peak_loc = float(cell.ind)
-        if peak_loc + 9 < 162:
-            peak_loc += HALF_FRAME * k_factor
+    # Vectorized over the candidate axis (the per-cell Python loop cost
+    # ~0.24 ms/fc at production sweep sizes). Every expression keeps the
+    # float64 evaluation ORDER of the original per-cell code (start +
+    # step*arange, round-then-filter), so the plans are bit-identical.
+    n = len(cells)
+    if n == 0:
+        return p
+    R = _n_rep_for(n_cap)
+    fc_req = np.array([c.fc_requested for c in cells], np.float64)
+    fc_prog = np.array([c.fc_programmed for c in cells], np.float64)
+    fs_prog = np.array([c.fs_programmed for c in cells], np.float64)
+    freq = np.array([c.freq for c in cells], np.float64)
+    ind = np.array([c.ind for c in cells], np.float64)
+    base_v = np.asarray(list(cap_bases)[:n], np.int64)
+    ii = np.arange(R, dtype=np.float64)[None, :]            # (1, R)
 
-        # --- detection windows (ops/sync.py:_getce_sss)
-        pss_loc_set = matlab_range(peak_loc, k_factor * HALF_FRAME,
-                                   n_cap - 125 - 9)
-        locs = np.round(pss_loc_set).astype(np.int64) + 9 - 2
-        locs = locs[locs + 128 <= n_cap]
-        n_rep = min(len(locs), _n_rep_for(n_cap))
-        p.pss_idx[b, :n_rep] = locs[:n_rep] + cap_bases[b]
-        p.rep_mask[b, :n_rep] = 1.0
-        p.foc[b] = -cell.freq
-        p.inv_fs[b] = 1.0 / fs_eff
-        p.n_id_2[b] = cell.n_id_2
-        p.freq[b] = cell.freq
-        p.valid[b] = True
+    k_factor = (fc_req - freq) / fc_prog
+    fs_eff = fs_prog * k_factor
+    u = 16.0 / FS_LTE * fs_prog * k_factor
+    peak_loc = np.where(ind + 9 < 162, ind + HALF_FRAME * k_factor, ind)
 
-        # --- frame_start candidates per ordering (ops/sync.py:sss_detect)
-        base = peak_loc + (128 + 9 - 960 - 2) * u
-        p.frame_start[b, 0] = wrap(base, -0.5, 2 * HALF_FRAME - 0.5)
-        p.frame_start[b, 1] = wrap(base + HALF_FRAME * u, -0.5,
-                                   2 * HALF_FRAME - 0.5)
+    # --- detection windows (ops/sync.py:_getce_sss)
+    step = k_factor * HALF_FRAME
+    n_in_range = np.floor((n_cap - 125 - 9 - peak_loc) / step)  # (n,)
+    pss_loc = peak_loc[:, None] + step[:, None] * ii            # (n, R)
+    locs = np.round(pss_loc).astype(np.int64) + 9 - 2
+    rep_ok = (ii <= n_in_range[:, None]) & (locs + 128 <= n_cap)
+    p.pss_idx[:n] = np.where(rep_ok, locs + base_v[:, None], 0)
+    p.rep_mask[:n] = rep_ok
+    p.foc[:n] = -freq
+    p.inv_fs[:n] = 1.0 / fs_eff
+    p.n_id_2[:n] = [c.n_id_2 for c in cells]
+    p.freq[:n] = freq
+    p.valid[:n] = True
 
-        # --- FOE windows for every (ordering, cp) combo
-        # (ops/sync.py:pss_sss_foe)
-        for ci, cp_type in enumerate(("normal", "extended")):
-            if cp_type == "normal":
-                dist = int(round((128 + 9) * u))
-                back = (960 - 128 - 9 - 128) * u
-            else:
-                # reference quirk: no fs/FS_LTE rescale on this arm
-                # (src/searcher.cpp:783)
-                dist = int(round((128 + 32) * k_factor))
-                back = (960 - 128 - 32 - 128) * u
-            p.foe_conv[b, ci] = fs_eff / (2.0 * np.pi * dist)
-            p.foe_phase[b, :, ci] = (np.pi * -cell.freq
-                                     / (FS_LTE / 16 / 2) * -dist)
-            for oi in range(2):
-                first_sss = p.frame_start[b, oi] + back
-                first_sss = float(wrap(first_sss, -0.5, 9600 * 2 - 0.5))
-                if first_sss - HALF_FRAME * k_factor > -0.5:
-                    first_sss -= HALF_FRAME * k_factor
-                    sn0 = 10
-                else:
-                    sn0 = 0
-                loc_set = matlab_range(first_sss, HALF_FRAME * u,
-                                       n_cap - 127 - dist - 100)
-                n_sss = min(len(loc_set), _n_rep_for(n_cap))
-                sss_locs = np.round(loc_set[:n_sss]).astype(np.int64)
-                p.foe_sss[b, oi, ci, :n_sss] = sss_locs + cap_bases[b]
-                p.foe_pss[b, oi, ci, :n_sss] = sss_locs + dist + cap_bases[b]
-                p.foe_mask[b, oi, ci, :n_sss] = 1.0
-                sn = np.where((np.arange(n_sss) % 2) == 0, sn0, 10 - sn0)
-                p.foe_seq[b, oi, ci, :n_sss] = (sn != 0).astype(np.int32)
+    # --- frame_start candidates per ordering (ops/sync.py:sss_detect)
+    fs_base = peak_loc + (128 + 9 - 960 - 2) * u
+    p.frame_start[:n, 0] = wrap(fs_base, -0.5, 2 * HALF_FRAME - 0.5)
+    p.frame_start[:n, 1] = wrap(fs_base + HALF_FRAME * u, -0.5,
+                                2 * HALF_FRAME - 0.5)
+
+    # --- FOE windows for every (ordering, cp) combo
+    # (ops/sync.py:pss_sss_foe)
+    for ci, cp_type in enumerate(("normal", "extended")):
+        if cp_type == "normal":
+            dist = np.round((128 + 9) * u).astype(np.int64)
+            back = (960 - 128 - 9 - 128) * u
+        else:
+            # reference quirk: no fs/FS_LTE rescale on this arm
+            # (src/searcher.cpp:783)
+            dist = np.round((128 + 32) * k_factor).astype(np.int64)
+            back = (960 - 128 - 32 - 128) * u
+        p.foe_conv[:n, ci] = fs_eff / (2.0 * np.pi * dist)
+        p.foe_phase[:n, :, ci] = (np.pi * -freq
+                                  / (FS_LTE / 16 / 2) * -dist)[:, None]
+        for oi in range(2):
+            first_sss = wrap(p.frame_start[:n, oi] + back, -0.5,
+                             9600 * 2 - 0.5)
+            adj = first_sss - HALF_FRAME * k_factor > -0.5
+            first_sss = np.where(adj, first_sss - HALF_FRAME * k_factor,
+                                 first_sss)
+            sn0 = np.where(adj, 10, 0)
+            sss_step = HALF_FRAME * u
+            n_sss_f = np.floor((n_cap - 127 - dist - 100 - first_sss)
+                               / sss_step)                   # (n,)
+            loc_set = first_sss[:, None] + sss_step[:, None] * ii
+            sss_ok = ii <= n_sss_f[:, None]
+            sss_locs = np.round(loc_set).astype(np.int64)
+            p.foe_sss[:n, oi, ci] = np.where(
+                sss_ok, sss_locs + base_v[:, None], 0)
+            p.foe_pss[:n, oi, ci] = np.where(
+                sss_ok, sss_locs + dist[:, None] + base_v[:, None], 0)
+            p.foe_mask[:n, oi, ci] = sss_ok
+            sn = np.where((ii.astype(np.int64) % 2) == 0, sn0[:, None],
+                          10 - sn0[:, None])
+            p.foe_seq[:n, oi, ci] = np.where(sss_ok, sn != 0, 0)
     return p
 
 

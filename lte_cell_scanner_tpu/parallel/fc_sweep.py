@@ -141,7 +141,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         if not _tea_fits(starts.reshape(B * n_f, n_comb_xc)):
             use_pallas = False   # extreme ppm/length: XLA core instead
     if use_pallas:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         from lte_cell_scanner_tpu.ops.xcorr_pallas import (
             DEFAULT_TILE, pad_capture, plan_tiles_tea, xcorr_core_pallas)
@@ -200,7 +200,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
 
         sweep = shard_map(local_scan, mesh=mesh,
                           in_specs=(P("cap"), P("cap")),
-                          out_specs=P("cap"), check_rep=False)
+                          out_specs=P("cap"), check_vma=False)
         cap_dev = jax.device_put(jnp.asarray(cap2), shard)
         tables = np.asarray(jax.jit(sweep)(cap_dev, dev_banks))
     else:

@@ -127,7 +127,10 @@ def main(argv=None) -> int:
                                record=args.record,
                                correction=args.correction)
 
-    if args.batch_sweep and args.backend == "jax":
+    if args.batch_sweep:
+        if args.backend != "jax":
+            sys.exit("Error: --batch-sweep requires --backend jax (the "
+                     "batched sweep is the device data-parallel path)")
         return _batched_sweep(args, source, fc_search_set, f_search_set,
                               verbosity)
 
@@ -198,8 +201,15 @@ def _wideband_sweep(args, f_search_set, verbosity: int) -> int:
               f"{args.fs_in / 1e6:.4g} Msps recording at "
               f"{fc_center / 1e6:.4g} MHz ...")
     t0 = time.time()
+    import jax
+
+    # Device path: one dispatch channelizes every carrier and the
+    # narrowband channels stay device-resident through the sweep. The
+    # host float64 channelizer is only the no-TPU fallback.
+    wb_backend = "jax" if jax.default_backend() != "cpu" else "numpy"
     per_cap, deduped = wideband_search_sweep(
-        wide, args.fs_in, fc_center, fcs, np.asarray(f_search_set))
+        wide, args.fs_in, fc_center, fcs, np.asarray(f_search_set),
+        backend=wb_backend)
     if verbosity >= 1:
         for b, fc in enumerate(fcs):
             for c in per_cap[b]:

@@ -505,7 +505,8 @@ class BatchTrackerEngine:
              (T,), (T,), ("f32", (T, 2)), ("f32", (T,)),
              ("f32", (T,)), ("f32", (T,)),
              (E, 12, 2), (E, 4),
-             (C + 1, 12, 2), (C + 1, 12), (C, P, 2, 12, 2)])
+             ("f32", (C + 1, 12, 2)), ("f32", (C + 1, 12)),
+             (C, P, 2, 12, 2)])
 
         # Store next cycle's carry values (host side, robust to cell-set
         # changes between cycles).
@@ -579,7 +580,8 @@ class BatchTrackerEngine:
         for ci, (cell, _) in enumerate(work):
             acs = ac_sum[ci, :, 0] + 1j * ac_sum[ci, :, 1]
             ws = acw_sum[ci]
-            if not np.any(ws):
+            if not np.any(ws) or not (np.all(np.isfinite(acs))
+                                      and np.all(np.isfinite(ws))):
                 continue
             if cell.ac_fd is None:
                 cell.ac_fd = acs / np.maximum(ws, 1e-30)
@@ -880,9 +882,13 @@ def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
     scal_e = scal[emit_idx]                                 # (E, 4)
     carry_out = rows[carry_idx]                             # (C, P, 2, 12, 2)
 
+    # ac_sum/acw_sum travel losslessly: at very high SNR the 1/ac_np
+    # weights exceed the f16 max (65504) and a plain-f16 fetch would
+    # overflow to inf, turning the host ac_fd blend into NaN.
     return _pack(np_c, sp_c, ("f32", foe_comb), ("f32", foe_np),
                  ("f32", delay), ("f32", delay_np),
-                 ce_filt_e, scal_e, ac_sum, acw_sum, carry_out)
+                 ce_filt_e, scal_e, ("f32", ac_sum), ("f32", acw_sum),
+                 carry_out)
 
 
 # ----------------------------------------------------------------------

@@ -224,11 +224,20 @@ class CellTracker:
         """MRC FOE across the comb; update the global frequency offset."""
         foe = np.conj(rs_prev.ce) * rs_next.ce
         cf2 = np.abs(ce_filt) ** 2
+        # Noiseless input (synthetic captures) gives np_curr == 0; the
+        # weights then diverge but the normalized estimate has the
+        # well-defined limit sum(foe)/sum(cf2) — a tiny floor reaches it
+        # without inf/NaN (the batch engine zero-weights non-finite rows
+        # the same way, tracker/batch_runtime.py).
+        np_curr = max(np_curr, 1e-20)
         foe_np = np_curr * np_curr + 2 * np_curr * cf2
         weight = cf2 / foe_np
         foe_comb = np.sum(foe * weight)
         foe_comb_np = np.sum(foe_np * weight * weight)
-        scale = 1.0 / np.sum(cf2 * weight)
+        norm = np.sum(cf2 * weight)
+        if norm == 0.0:
+            return   # all-zero CE (blanked/overload windows): no info
+        scale = 1.0 / norm
         foe_comb *= scale
         foe_comb_np *= scale * scale
 
@@ -261,8 +270,11 @@ class CellTracker:
         ac = np.array([np.mean(np.conj(rs_curr.ce[:12 - d])
                                * rs_curr.ce[d:]) for d in range(12)])
         ac = ac / sp_curr
-        ac_np = (np_curr**2 / sp_curr**2 + 2 * np_curr / sp_curr) \
-            / np.arange(12, 0, -1)
+        # Same noiseless-input guard as _do_foe: ac_np == 0 when
+        # np_curr == 0; the floored blend converges to plain ac.
+        ac_np = np.maximum(
+            (np_curr**2 / sp_curr**2 + 2 * np_curr / sp_curr)
+            / np.arange(12, 0, -1), 1e-20)
         if self.cell.ac_fd is None:
             self.cell.ac_fd = ac
         else:

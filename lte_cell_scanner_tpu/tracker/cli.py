@@ -91,7 +91,7 @@ def main(argv=None) -> int:
     try:
         trk.kalibrate(playback_source(sig, repeat=args.repeat,
                                       noise_power=args.noise_power),
-                      ppm=args.ppm)
+                      ppm=args.ppm, correction=args.correction)
     except RuntimeError as e:
         sys.exit(f"Error: {e}")
 

@@ -113,14 +113,18 @@ class LTETracker:
 
     # ------------------------------------------------------------------
     def kalibrate(self, sample_source: Iterator[np.ndarray],
-                  ppm: float = 120, max_blocks: int = 10000) -> float:
+                  ppm: float = 120, max_blocks: int = 10000,
+                  correction: float = 1.0) -> float:
         """Initial LO calibration: run one-shot cell searches on raw input
         until a cell decodes; seed the global FO with its freq_superfine.
+        ``correction`` centers the hypothesis grid on a previously
+        calibrated crystal's offset (src/LTE-Tracker.cpp:586).
 
         reference: src/LTE-Tracker.cpp:565-741.
         """
         fo = kalibrate(sample_source, self.state, ppm=ppm,
-                       backend=self.backend, max_blocks=max_blocks)
+                       backend=self.backend, max_blocks=max_blocks,
+                       correction=correction)
         self.state.frequency_offset = fo
         self.on_event("kalibrate", {"frequency_offset": fo})
         return fo

@@ -67,16 +67,23 @@ def searcher_pass(capbuf: np.ndarray, state: GlobalState,
 
 def kalibrate(sample_source: Iterator[np.ndarray], state: GlobalState,
               ppm: float = 120, backend: str = "numpy",
-              max_blocks: int = 10000) -> float:
+              max_blocks: int = 10000, correction: float = 1.0) -> float:
     """One-shot CellSearch over raw input until a cell decodes.
 
     Returns the freq_superfine of the strongest cell found.
-    reference: src/LTE-Tracker.cpp:565-741.
+
+    ``correction`` is the crystal correction factor from a previous
+    CellSearch run: the hypothesis grid is offset by
+    ``fc*correction - fc`` so a pre-calibrated crystal's true offset
+    sits at the center of the hunt even when it exceeds ``ppm``
+    (reference: src/LTE-Tracker.cpp:586).
     """
     from lte_cell_scanner_tpu.constants import CAPLENGTH
 
     _, f_search_set = generate_search_sets(state.fc_requested,
                                            state.fc_requested, ppm)
+    f_search_set = np.asarray(f_search_set, dtype=float) \
+        + (state.fc_requested * correction - state.fc_requested)
     buf = np.zeros(0, dtype=complex)
     n_blocks = 0
     for raw in sample_source:

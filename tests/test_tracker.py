@@ -43,6 +43,43 @@ def test_kalibrate_and_track(sim_signal):
     assert 12 < c["sync_snr_db"] < 24
 
 
+def test_kalibrate_correction_centers_grid():
+    """A pre-calibrated crystal whose true offset exceeds the ppm window
+    is only acquired when the CellSearch correction factor re-centers the
+    hypothesis grid (reference: src/LTE-Tracker.cpp:586)."""
+    fc = 739e6
+    true_off = 22.2e3     # ~30 ppm crystal
+    sig = synthetic_capture(n_id_1=90, n_id_2=1, snr_db=15,
+                            freq_offset=true_off, n_subframes=170, seed=7)
+    # correction as printed by CellSearch: fc / (fc - freq_superfine)
+    correction = fc / (fc - true_off)
+
+    trk = LTETracker(fc)
+    # ppm=10 -> grid is +-5 kHz: way short of 22 kHz without correction.
+    with pytest.raises(RuntimeError):
+        trk.kalibrate(playback_source(sig), ppm=10, max_blocks=17)
+    fo = trk.kalibrate(playback_source(sig), ppm=10,
+                       correction=correction)
+    assert abs(fo - true_off) < 30
+
+
+def test_tracker_noiseless_input_finite():
+    """Noiseless input (np estimate == 0) must not NaN the FOE/AC blends
+    (the host path mirrors the batch engine's non-finite guards)."""
+    sig = synthetic_capture(n_id_1=90, n_id_2=1, snr_db=None,
+                            freq_offset=4e3, n_subframes=250, seed=3)
+    trk = LTETracker(739e6, initial_freq_offset=4000.0)
+    with np.errstate(invalid="raise", divide="raise"):
+        trk.run(playback_source(sig, noise_power=None), max_blocks=250)
+    assert trk.cells, "cell was not acquired on the clean signal"
+    st = trk.status()
+    assert np.isfinite(st["frequency_offset"])
+    assert abs(st["frequency_offset"] - 4000) < 30
+    cell = trk.cells[0]
+    if cell.ac_fd is not None:
+        assert np.all(np.isfinite(cell.ac_fd))
+
+
 def test_frame_timing_stability(sim_signal):
     """Frame timing must not drift while tracking a clean loop."""
     trk = LTETracker(739e6, initial_freq_offset=4000.0)
