@@ -91,13 +91,17 @@ def main():
     interpret = jax.default_backend() == "cpu"  # no-TPU fallback
 
     def scan_all(u8b):
-        return jnp.stack([
-            scan_and_peaks_pallas(u8b[b], bank_j, bases_j, offs_j, r_norm,
-                                  n_comb_xc, n_comb_sp, DS_COMB_ARM,
-                                  halo=halo, n_tile=n_tile,
-                                  interpret=interpret)
-            for b in range(B)
-        ])
+        # lax.map: ONE kernel instance in the HLO (a Python loop here
+        # would clone the Pallas kernel B times — minutes of avoidable
+        # first-compile through a tunneled chip).
+        def one(c):
+            return scan_and_peaks_pallas(c, bank_j, bases_j, offs_j,
+                                         r_norm, n_comb_xc, n_comb_sp,
+                                         DS_COMB_ARM, halo=halo,
+                                         n_tile=n_tile,
+                                         interpret=interpret)
+
+        return jax.lax.map(one, u8b)
 
     scan_jit = jax.jit(scan_all)
 
@@ -110,11 +114,9 @@ def main():
         f = (raw.astype(jnp.float32) - 127.0) / 128.0
         return jnp.moveaxis(f, 1, 2).reshape(B * n_cap, 2)
 
-    def full_pipeline(dev=None):
-        if dev is None:
-            dev = jax.device_put(u8)
-        tables = np.asarray(scan_jit(dev), dtype=np.float64)
-        cap_flat = to_flat(dev)
+    def decode_batch(tables, cap_flat):
+        """Host tail for one scanned batch: peak unpack + the two
+        batched decode dispatches (sync, then MIB)."""
         cells, bases_c = [], []
         for b in range(B):
             for c in peaks_to_cells(tables[b], fset, fc, fc):
@@ -133,7 +135,13 @@ def main():
                                         0.0, 1.92e6, cap_dev=cap_flat,
                                         n_cap=n_cap,
                                         cap_bases=[g for _, g in grp])
-        return tables, [c for c in out if c.n_rb_dl >= 0]
+        return [c for c in out if c.n_rb_dl >= 0]
+
+    def full_pipeline(dev=None):
+        if dev is None:
+            dev = jax.device_put(u8)
+        tables = np.asarray(scan_jit(dev), dtype=np.float64)
+        return tables, decode_batch(tables, to_flat(dev))
 
     def scan_only():
         dev = jax.device_put(u8)
@@ -156,21 +164,43 @@ def main():
         full_pipeline()
         full_times.append(time.time() - t0)
 
-    # Pipelined sweep: a production fc sweep overlaps the NEXT batch's
-    # host->device byte upload (the dominant wall-clock cost on any
-    # PCIe/tunnel link) with the current batch's scan+decode, via a
-    # 1-deep prefetch thread. Steady-state throughput, not latency.
+    # Pipelined sweep: the production fc sweep as a 2-deep software
+    # pipeline. An uploader thread keeps the host->device byte stream
+    # (the dominant cost on any PCIe/tunnel link) running TWO batches
+    # ahead, while the main thread's per-batch critical path is only
+    #   fetch scan tables(i) -> dispatch scan(i+1)
+    #   -> host planning + sync/MIB dispatches + fetches for batch i,
+    # so batch i's decode chain overlaps both batch i+1's upload and
+    # batch i+1's scan compute. Steady-state throughput, not latency;
+    # the pipeline-fill upload of batch 0 is outside the timed region.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(1) as ex:
         fut = ex.submit(jax.device_put, u8)
+        dev = fut.result()
+        scan_out = scan_jit(dev)            # async dispatch
+        flat = to_flat(dev)                 # async dispatch
+        fut = ex.submit(jax.device_put, u8)
         t0 = time.time()
+        pipelined_decoded = []
         for i in range(REPS):
-            dev = fut.result()
+            tables = np.asarray(scan_out, dtype=np.float64)  # scan(i)
             if i + 1 < REPS:
-                fut = ex.submit(jax.device_put, u8)
-            full_pipeline(dev)
+                dev = fut.result()          # upload normally done by now
+                scan_out = scan_jit(dev)    # device starts scan(i+1)
+                flat_next = to_flat(dev)
+                if i + 2 < REPS:
+                    fut = ex.submit(jax.device_put, u8)
+            # Decode chain for batch i runs while the device scans
+            # batch i+1 and the uploader streams batch i+2.
+            pipelined_decoded = decode_batch(tables, flat)
+            if i + 1 < REPS:
+                flat = flat_next
         pipelined_ms = (time.time() - t0) / REPS / B * 1e3
+    if real:
+        # The pipelined path must produce the same bit-correct MIBs.
+        assert len(pipelined_decoded) == 2 * B
+        assert all(c.n_rb_dl == 50 for c in pipelined_decoded)
 
     # Device-only scan latency (chained lax.scan, slope between two
     # chain lengths — immune to the host link, which dominates every
@@ -200,6 +230,63 @@ def main():
             dev_times[n] = time.time() - t0
         device_scan_ms = (dev_times[32] - dev_times[8]) / 24 * 1e3
 
+    # Wideband channelizer throughput (beyond-reference front end):
+    # one-pass filter-bank turning a 30.72 Msps capture into 32 raster
+    # carriers' 1.92 Msps channels; device-only slope timing.
+    wb_ms_per_carrier = None
+    if not interpret:
+        try:
+            from lte_cell_scanner_tpu.search.wideband import (
+                CAPLENGTH, make_channelizer)
+
+            WB_D, WB_B = 16, 32
+            n_wide = (CAPLENGTH + 64) * WB_D
+            run_wb, consts_wb, _ = make_channelizer(
+                WB_D * 1.92e6, 750e6,
+                [750e6 + (i - WB_B // 2) * 100e3 for i in range(WB_B)],
+                n_wide)
+            rngw = np.random.default_rng(0)
+            wplanes = jnp.asarray(
+                rngw.standard_normal((2, n_wide)).astype(np.float32))
+
+            def wb_chain(n):
+                def step(c, _):
+                    out = run_wb(c, *consts_wb)
+                    eps = jnp.where(out[0, 0, 0] > 1e30, 1.0, 0.0)
+                    return c + eps, out[0, 0, 0]
+
+                return jax.jit(
+                    lambda c: jax.lax.scan(step, c, None, length=n)[1])
+
+            wt = {}
+            for n in (4, 16):
+                f = wb_chain(n)
+                np.asarray(f(wplanes))
+                t0 = time.time()
+                np.asarray(f(wplanes))
+                wt[n] = time.time() - t0
+            wb_ms_per_carrier = (wt[16] - wt[4]) / 12 / WB_B * 1e3
+        except Exception:  # pragma: no cover - keep the headline alive
+            wb_ms_per_carrier = None
+
+    # Multi-host sweep scaling (BASELINE.md: >=0.9 linear 1 -> 2 hosts):
+    # real 2-process jax.distributed runs on the CPU backend (see
+    # parallel/multihost.py measure_sweep_scaling for how the
+    # single-core box yields honest per-host compute + comm times).
+    try:
+        from lte_cell_scanner_tpu.parallel.multihost import (
+            measure_sweep_scaling)
+
+        mh = measure_sweep_scaling(n_procs=2, b_per_proc=4, n_f=4,
+                                   reps=2, verbose=False)
+        multihost = {"scaling_1to2": mh["scaling"],
+                     "samples_per_sec_1host": mh["samples_per_sec_1host"],
+                     "samples_per_sec_2host":
+                         mh["samples_per_sec_nhost_total"],
+                     "comm_s": mh["t_comm_s"]}
+    except Exception:  # pragma: no cover - keep the headline alive
+        multihost = None
+
     full_ms = np.array(full_times) / B * 1e3
     scan_ms = np.array(scan_times) / B * 1e3
     value = float(np.median(full_ms))
@@ -217,7 +304,12 @@ def main():
                                    if device_scan_ms == device_scan_ms
                                    else None),
         "samples_per_sec_per_chip": int(n_cap / (np.median(scan_ms) / 1e3)),
+        "wideband_ms_per_carrier": (round(wb_ms_per_carrier, 4)
+                                    if wb_ms_per_carrier else None),
+        "wideband_carriers_per_sec": (int(1e3 / wb_ms_per_carrier)
+                                      if wb_ms_per_carrier else None),
         "decoded_cells_per_fc": len(decoded) / B,
+        "multihost": multihost,
         "batch": B,
     }))
 

@@ -632,13 +632,19 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         crc_est = crc_est ^ crc_masks[None, None, :, :]
         ok = jnp.all(crc_est == bits[..., 24:40], axis=-1)  # (B, 4, 3)
 
-        # ONE packed (B, 1+12+480) f32 output — a single D2H fetch
-        # (bits are 0/1 and the ok flags booleans, lossless in f32);
+        # ONE packed (B, 2+12+480) f16 output — a single D2H fetch at
+        # half the f32 bytes (the decode tail's largest transfer on a
+        # PCIe/tunnel link). Bits/ok are 0/1 (lossless in f16);
+        # residual_f keeps full f32 precision by bitcasting into two
+        # f16 lanes (the host views the byte pair back as f32);
         # delay/np_v are device-internal diagnostics not worth a fetch.
+        r16 = jax.lax.bitcast_convert_type(
+            residual_f.astype(jnp.float32)[:, None],
+            jnp.float16).reshape(residual_f.shape[0], 2)
         return jnp.concatenate([
-            residual_f[:, None].astype(jnp.float32),
-            ok.reshape(ok.shape[0], 12).astype(jnp.float32),
-            bits.reshape(bits.shape[0], 480).astype(jnp.float32),
+            r16,
+            ok.reshape(ok.shape[0], 12).astype(jnp.float16),
+            bits.reshape(bits.shape[0], 480).astype(jnp.float16),
         ], axis=1)
 
     return run
@@ -694,11 +700,12 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
               plan.ts, plan.rs_conj, plan.shifts, plan.lower_first,
               plan.pbch_rows, plan.pbch_cols, plan.scr_sign,
               plan.omk_base, plan.inv_fcp)
-    packed = np.asarray(out, dtype=np.float64)   # single D2H fetch
+    packed = np.asarray(out)                     # single D2H fetch (f16)
     out = {
-        "residual_f": packed[:, 0],
-        "ok": packed[:, 1:13].reshape(-1, 4, 3) > 0.5,
-        "bits": packed[:, 13:493].reshape(-1, 4, 3, 40),
+        "residual_f": np.ascontiguousarray(
+            packed[:, :2]).view(np.float32)[:, 0].astype(np.float64),
+        "ok": packed[:, 2:14].astype(np.float64).reshape(-1, 4, 3) > 0.5,
+        "bits": packed[:, 14:494].astype(np.float64).reshape(-1, 4, 3, 40),
     }
 
     res: List[Cell] = []

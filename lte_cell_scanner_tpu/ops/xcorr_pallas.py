@@ -171,6 +171,65 @@ def _kernel_tea(bases_ref, cap_ref, tpl_ref, acc_ref, *, n_ch, tile,
         acc_ref[:, pl.ds(tcol, tile)] += upd
 
 
+def _kernel_tea3(bases_ref, cap_ref, tpl_ref, acc_ref, *, n_ch, tile,
+                 s_col, win_rows):
+    """Karatsuba (3-real-matmul) variant of _kernel_tea.
+
+    The complex correlation re+j*im = (Re+j*Im) (Xr+j*Xi) is computed
+    from three real products instead of the 2x2 real-block form's four:
+        m1 = Re @ Xr,  m2 = Im @ Xi,  m3 = (Re+Im) @ (Xr+Xi),
+        re = m1 - m2,  im = m3 - m1 - m2.
+    Nominal flops drop 25% (3*W vs 4*W contraction rows); whether that
+    survives the MXU's 128-deep K-dim padding (W ~ 176 pads to 256 in
+    three small dots vs 2W ~ 352 padding to 384 in one) is measured by
+    tools/bench_scan.py --layout tea3 — this kernel exists to make the
+    trade measurable, and the default layout is whichever wins.
+
+    tpl_ref: (1, 3*n_ch, win_rows) — fold m's bank [Re; Im; Re+Im].
+    """
+    t = pl.program_id(0)
+    m = pl.program_id(1)
+    prog = t * pl.num_programs(1) + m
+    w = tile + 128
+
+    base = pl.multiple_of(bases_ref[prog], 128)
+    local = cap_ref[:, pl.ds(base, w + WIN_PAD)]
+
+    def win(p):
+        b = jnp.broadcast_to(local[p][None, :], (win_rows, w + WIN_PAD))
+        return pltpu.roll(b, w + WIN_PAD - (win_rows - 1), axis=1,
+                          stride=1, stride_axis=0)[:, :w]
+
+    xr = win(0)
+    xi = win(1)
+    xs = (xr + xi).astype(tpl_ref.dtype)
+    xr = xr.astype(tpl_ref.dtype)
+    xi = xi.astype(tpl_ref.dtype)
+    m1 = jnp.dot(tpl_ref[0, :n_ch], xr,
+                 preferred_element_type=jnp.float32)
+    m2 = jnp.dot(tpl_ref[0, n_ch:2 * n_ch], xi,
+                 preferred_element_type=jnp.float32)
+    m3 = jnp.dot(tpl_ref[0, 2 * n_ch:], xs,
+                 preferred_element_type=jnp.float32)
+    re = m1 - m2
+    im = m3 - m1 - m2
+    mag = re ** 2 + im ** 2                               # (n_ch, w)
+    if s_col % 128 == 0:
+        upd = mag[:, s_col:s_col + tile]
+    else:
+        upd = pltpu.roll(mag, w - s_col, axis=1)[:, :tile]
+
+    tcol = pl.multiple_of(t * tile, 128)
+
+    @pl.when(m == 0)
+    def _init():
+        acc_ref[:, pl.ds(tcol, tile)] = upd
+
+    @pl.when(m > 0)
+    def _accum():
+        acc_ref[:, pl.ds(tcol, tile)] += upd
+
+
 def _tea_fits(starts: np.ndarray) -> bool:
     """True if the fold misalignment range fits a TEA template bank.
 
@@ -214,34 +273,54 @@ def plan_tiles_tea(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE):
                                                        front + n_cap))
 
 
-def _tea_bank(tpl: np.ndarray, d: np.ndarray, s0: int, win_rows: int,
-              precision: str) -> np.ndarray:
-    """Per-fold template banks: (n_fold, 2*n_ch, 2*win_rows).
+def _tea_embed(tpl: np.ndarray, d: np.ndarray, s0: int, win_rows: int):
+    """Embed the fold-aligned taps: (n_fold, n_ch, win_rows) re/im.
 
     Hypothesis f's taps sit at K-rows win_rows-1-s0-d(f,m)-j so the TEA
     matmul's columns come out fold-aligned (see _kernel_tea)."""
     n_ch = tpl.shape[0]
-    n_f, n_fold = d.shape
     ch_d = np.repeat(d, 3, axis=0)                        # (n_ch, n_fold)
     j = np.arange(PSS_TD_LEN)
     rows = win_rows - 1 - s0 - ch_d.T[:, :, None] - j     # (n_fold,n_ch,137)
     assert rows.min() >= 0 and rows.max() < win_rows
+    n_fold = d.shape[1]
     m_i = np.arange(n_fold)[:, None, None]
     c_i = np.arange(n_ch)[None, :, None]
     re = np.zeros((n_fold, n_ch, win_rows), np.float64)
     im = np.zeros_like(re)
     re[m_i, c_i, rows] = tpl.real[None]
     im[m_i, c_i, rows] = tpl.imag[None]
+    return re, im
+
+
+def _bank_cast(bank: np.ndarray, precision: str) -> np.ndarray:
+    if precision == "bf16":
+        import ml_dtypes
+
+        return bank.astype(ml_dtypes.bfloat16)
+    return bank
+
+
+def _tea_bank(tpl: np.ndarray, d: np.ndarray, s0: int, win_rows: int,
+              precision: str) -> np.ndarray:
+    """Per-fold 2x2 real-block banks: (n_fold, 2*n_ch, 2*win_rows)."""
+    re, im = _tea_embed(tpl, d, s0, win_rows)
+    n_fold, n_ch, _ = re.shape
     bank = np.zeros((n_fold, 2 * n_ch, 2 * win_rows), np.float32)
     bank[:, :n_ch, :win_rows] = re
     bank[:, :n_ch, win_rows:] = -im
     bank[:, n_ch:, :win_rows] = im
     bank[:, n_ch:, win_rows:] = re
-    if precision == "bf16":
-        import ml_dtypes
+    return _bank_cast(bank, precision)
 
-        bank = bank.astype(ml_dtypes.bfloat16)
-    return bank
+
+def _tea_bank3(tpl: np.ndarray, d: np.ndarray, s0: int, win_rows: int,
+               precision: str) -> np.ndarray:
+    """Per-fold Karatsuba banks: (n_fold, 3*n_ch, win_rows) =
+    [Re; Im; Re+Im] (see _kernel_tea3)."""
+    re, im = _tea_embed(tpl, d, s0, win_rows)
+    bank = np.concatenate([re, im, re + im], axis=1).astype(np.float32)
+    return _bank_cast(bank, precision)
 
 
 def plan_tiles(n_cap: int, starts: np.ndarray, tile: int = DEFAULT_TILE,
@@ -296,12 +375,24 @@ def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
     plan_tiles. Returns single: (3, HALF_FRAME, n_f) f32 — the same
     xc_incoherent_single as ops.xcorr_jax._fold.
     """
-    if tpl_bank.ndim == 3:                                # TEA layout
-        n_ch = tpl_bank.shape[1] // 2
+    if tpl_bank.ndim == 3:                                # TEA layouts
+        # Karatsuba banks are (n_fold, 3*n_ch, win_rows), 2x2-block
+        # banks (n_fold, 2*n_ch, 2*win_rows); win_rows <= WIN_PAD + 1
+        # (_tea_fits) and >= 144, so the K dim separates them.
+        tea3 = tpl_bank.shape[2] <= WIN_PAD + 1
+        if tea3:
+            n_ch = tpl_bank.shape[1] // 3
+            win_rows = tpl_bank.shape[2]
+            kern = functools.partial(_kernel_tea3, n_ch=n_ch, tile=tile,
+                                     s_col=halo, win_rows=win_rows)
+            kdim = win_rows
+        else:
+            n_ch = tpl_bank.shape[1] // 2
+            win_rows = tpl_bank.shape[2] // 2
+            kern = functools.partial(_kernel_tea, n_ch=n_ch, tile=tile,
+                                     s_col=halo, win_rows=win_rows)
+            kdim = 2 * win_rows
         n_f = n_ch // 3
-        win_rows = tpl_bank.shape[2] // 2
-        kern = functools.partial(_kernel_tea, n_ch=n_ch, tile=tile,
-                                 s_col=halo, win_rows=win_rows)
         acc = pl.pallas_call(
             kern,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -309,7 +400,7 @@ def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
                 grid=(n_tile, n_comb_xc),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 2 * n_ch, 2 * win_rows),
+                    pl.BlockSpec((1, tpl_bank.shape[1], tpl_bank.shape[2]),
                                  lambda t, m, *_: (m, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec(
@@ -320,7 +411,7 @@ def xcorr_fold_pallas(cap2, tpl_bank, bases, offs, n_comb_xc,
                                            jnp.float32),
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * n_ch * 2 * win_rows * (tile + 128)
+                flops=2 * tpl_bank.shape[1] * kdim * (tile + 128)
                 * n_tile * n_comb_xc,
                 bytes_accessed=4 * (2 * cap2.shape[1] + n_ch * HALF_FRAME)
                 + tpl_bank.dtype.itemsize * tpl_bank.size * n_tile,
@@ -444,11 +535,12 @@ def scan_plan(capbuf_len, f_search_set, fc_requested, fc_programmed,
                             fs_programmed).reshape(-1, PSS_TD_LEN)
     starts_ = fold_start_indices(f_search_set, n_comb_xc, fc_requested,
                                  fc_programmed, fs_programmed)
-    if (layout == "tea" and _tea_fits(starts_)
+    if (layout in ("tea", "tea3") and _tea_fits(starts_)
             and HALF_FRAME % tile == 0 and tile % 128 == 0):
         bases, d, s0, s_col, win_rows, n_tile, pad = plan_tiles_tea(
             capbuf_len, starts_, tile=tile)
-        bank = _tea_bank(tpl, d, s0, win_rows, precision)
+        mk = _tea_bank3 if layout == "tea3" else _tea_bank
+        bank = mk(tpl, d, s0, win_rows, precision)
         return bank, bases, None, s_col, n_tile, n_comb_xc, pad
     # Bank columns permuted to the kernel's roll-built window order:
     # template shift j sits in window row WIN_ROWS-1-j (rows j > 136 are

@@ -36,6 +36,10 @@ from lte_cell_scanner_tpu.ops.xcorr_jax import _xcorr_core
 
 
 _DEV_BANK_CACHE: dict = {}   # sweep-key -> device-resident sharded banks
+_JIT_CACHE: dict = {}        # program-key -> jitted sweep callable
+                             # (a fresh closure per call would retrace —
+                             # and recompile on any shape change — every
+                             # sweep invocation)
 
 
 def _to_complex(capbufs: np.ndarray, b: int = None):
@@ -182,27 +186,33 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             cap2 = pad_capture(
                 np.stack([capbufs.real, capbufs.imag],
                          1).astype(np.float32), pad)
-        bases_j = jnp.asarray(bases)
         interpret = jax.default_backend() == "cpu"
+        jit_key = ("pallas", mesh_key, n_cap, n_comb_xc, n_comb_sp,
+                   ds_comb_arm, float(r_norm), max_peaks)
+        sweep_jit = _JIT_CACHE.get(jit_key)
+        if sweep_jit is None:
+            bases_j = jnp.asarray(bases)
 
-        def local_scan(cap_loc, bank_loc):
-            def one(args):
-                c, bk = args
-                packed, single, _ = xcorr_core_pallas(
-                    c, bk, bases_j, None, n_comb_xc, n_comb_sp,
-                    ds_comb_arm, tile=DEFAULT_TILE, halo=s_col,
-                    n_tile=n_tile, interpret=interpret)
-                return peak_search_device(packed, single, r_norm,
-                                          ds_comb_arm,
-                                          max_peaks=max_peaks)
+            def local_scan(cap_loc, bank_loc):
+                def one(args):
+                    c, bk = args
+                    packed, single, _ = xcorr_core_pallas(
+                        c, bk, bases_j, None, n_comb_xc, n_comb_sp,
+                        ds_comb_arm, tile=DEFAULT_TILE, halo=s_col,
+                        n_tile=n_tile, interpret=interpret)
+                    return peak_search_device(packed, single, r_norm,
+                                              ds_comb_arm,
+                                              max_peaks=max_peaks)
 
-            return jax.lax.map(one, (cap_loc, bank_loc))
+                return jax.lax.map(one, (cap_loc, bank_loc))
 
-        sweep = shard_map(local_scan, mesh=mesh,
-                          in_specs=(P("cap"), P("cap")),
-                          out_specs=P("cap"), check_vma=False)
+            sweep_jit = jax.jit(shard_map(local_scan, mesh=mesh,
+                                          in_specs=(P("cap"), P("cap")),
+                                          out_specs=P("cap"),
+                                          check_vma=False))
+            _JIT_CACHE[jit_key] = sweep_jit
         cap_dev = jax.device_put(jnp.asarray(cap2), shard)
-        tables = np.asarray(jax.jit(sweep)(cap_dev, dev_banks))
+        tables = np.asarray(sweep_jit(cap_dev, dev_banks))
     else:
         cc = _to_complex(np.asarray(capbufs))
         cap_ri = np.stack([cc.real, cc.imag], -1).astype(np.float32)
@@ -212,17 +222,25 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         tre = np.stack([t.real for t in tpls]).astype(np.float32)
         tim = np.stack([t.imag for t in tpls]).astype(np.float32)
 
-        def scan_one(cap, tr, ti, st):
-            packed, single, _ = _xcorr_core(cap, tr, ti, st,
-                                            n_comb_sp=n_comb_sp,
-                                            ds_comb_arm=ds_comb_arm)
-            return peak_search_device(packed, single, r_norm, ds_comb_arm,
-                                      max_peaks=max_peaks)
+        mesh_key = (tuple(str(d) for d in mesh.devices.flat),
+                    tuple(mesh.shape.items()))
+        jit_key = ("xla", mesh_key, n_comb_sp, ds_comb_arm,
+                   float(r_norm), max_peaks)
+        sweep_jit = _JIT_CACHE.get(jit_key)
+        if sweep_jit is None:
+            def scan_one(cap, tr, ti, st):
+                packed, single, _ = _xcorr_core(cap, tr, ti, st,
+                                                n_comb_sp=n_comb_sp,
+                                                ds_comb_arm=ds_comb_arm)
+                return peak_search_device(packed, single, r_norm,
+                                          ds_comb_arm,
+                                          max_peaks=max_peaks)
 
-        sweep = jax.vmap(scan_one)
+            sweep_jit = jax.jit(jax.vmap(scan_one))
+            _JIT_CACHE[jit_key] = sweep_jit
         args = [jax.device_put(jnp.asarray(x), shard)
                 for x in (cap_ri, tre, tim, starts)]
-        tables = np.asarray(jax.jit(sweep)(*args))
+        tables = np.asarray(sweep_jit(*args))
 
     out: List[List[Cell]] = []
     for b, fc in enumerate(fc_list):

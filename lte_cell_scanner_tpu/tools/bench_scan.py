@@ -43,7 +43,8 @@ def _get_capture():
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--precision", choices=("f32", "bf16"), default="f32")
-    p.add_argument("--layout", choices=("roll", "tea"), default="tea")
+    p.add_argument("--layout", choices=("roll", "tea", "tea3"),
+                   default="tea")
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--iters", type=int, default=128)
     p.add_argument("--ppm", type=float, default=100.0)

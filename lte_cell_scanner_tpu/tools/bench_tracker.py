@@ -112,16 +112,46 @@ def main(argv=None):
             c.fifo.append(p)
     engine.process_all(cells)
 
-    t0 = time.time()
-    fed = chunk
-    while fed < len(pdus):
-        hi = min(fed + chunk, len(pdus))
-        for c in cells:
-            for p in pdus[fed:hi]:
-                c.fifo.append(p)
-        engine.process_all(cells)
-        fed = hi
-    wall = time.time() - t0
+    # Tap the engine's device dispatches during the timed run so the
+    # device-bound measurement below can replay one cycle's REAL
+    # argument set in a chained lax.scan.
+    import lte_cell_scanner_tpu.tracker.batch_runtime as br
+
+    rec: dict = {}
+    counts = {"cycles": 0, "mib": 0}
+    orig = (br._demod_stream_jit, br._stats_jit, br.lte_conv_decode_batch)
+
+    def tap_demod(*a):
+        rec["demod"] = a
+        counts["cycles"] += 1
+        return orig[0](*a)
+
+    def tap_stats(*a):
+        rec["stats"] = a
+        return orig[1](*a)
+
+    def tap_vit(b):
+        rec["vit"] = b
+        counts["mib"] += 1
+        return orig[2](b)
+
+    br._demod_stream_jit = tap_demod
+    br._stats_jit = tap_stats
+    br.lte_conv_decode_batch = tap_vit
+    try:
+        t0 = time.time()
+        fed = chunk
+        while fed < len(pdus):
+            hi = min(fed + chunk, len(pdus))
+            for c in cells:
+                for p in pdus[fed:hi]:
+                    c.fifo.append(p)
+            engine.process_all(cells)
+            fed = hi
+        wall = time.time() - t0
+    finally:
+        (br._demod_stream_jit, br._stats_jit,
+         br.lte_conv_decode_batch) = orig
 
     signal_s = (len(pdus) - chunk) / n_sym_s
     realtime_factor = signal_s / wall
@@ -129,12 +159,77 @@ def main(argv=None):
     mibs = sum(c.mib_decode_successes for c in cells)
     print(f"# {M} cells x {signal_s:.2f}s signal in {wall:.2f}s wall "
           f"({mibs} MIB decodes)", flush=True)
+
+    dev = _device_bound(rec, counts, M, chunk, n_sym_s, signal_s)
     print(json.dumps({
         "metric": "tracker_cells_realtime_per_chip",
         "value": round(cells_realtime, 1),
         "unit": "cells",
         "vs_baseline": round(cells_realtime / BASELINE_CELLS, 1),
+        **dev,
     }))
+
+
+def _device_bound(rec, counts, M, chunk, n_sym_s, signal_s):
+    """Device-bound tracker capacity: per-cycle DEVICE time of the data
+    plane (stream demod + CE/FOE/TOE/AC stats, plus the batched Viterbi
+    amortized at its observed cadence), measured by chaining one timed
+    cycle's REAL dispatch arguments inside a lax.scan (slope between two
+    chain lengths — immune to the host link, which dominates the
+    wall-clock number on a tunneled chip; see CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import lte_cell_scanner_tpu.tracker.batch_runtime as br
+
+    if jax.default_backend() == "cpu" or "demod" not in rec \
+            or "stats" not in rec:
+        return {}
+    dem = br._demod_stream_jit.__wrapped__
+    st = br._stats_jit.__wrapped__
+    da = [jnp.asarray(np.asarray(a)) for a in rec["demod"]]
+    sa = rec["stats"]
+    stats_rest = [jnp.asarray(np.asarray(a)) for a in sa[1:-1]]
+    n_seg = int(sa[-1])
+
+    def step(c, _):
+        flat, ce_dev = dem(da[0], da[1] + c, *da[2:])
+        flat2 = st(ce_dev, *stats_rest, n_seg)
+        big = jnp.float32(6e4)
+        eps = ((flat.reshape(-1)[0].astype(jnp.float32) > big)
+               | (flat2.reshape(-1)[0].astype(jnp.float32) > big))
+        return c + eps.astype(jnp.int32), flat2.reshape(-1)[0]
+
+    def slope(step_fn, carry0):
+        times = {}
+        for n in (8, 32):
+            f = jax.jit(lambda c: jax.lax.scan(step_fn, c, None,
+                                               length=n)[1])
+            np.asarray(f(carry0))
+            t0 = time.time()
+            np.asarray(f(carry0))
+            times[n] = time.time() - t0
+        return (times[32] - times[8]) / 24
+
+    per_cycle = slope(step, jnp.int32(0))
+    if "vit" in rec and counts["mib"]:
+        vb = jnp.asarray(np.asarray(rec["vit"]))
+
+        def vstep(c, _):
+            dec = br.lte_conv_decode_batch(vb + c)
+            eps = (dec.reshape(-1)[0].astype(jnp.float32) > 2.0)
+            return c + eps.astype(vb.dtype), dec.reshape(-1)[0]
+
+        per_cycle += slope(vstep, jnp.zeros((), vb.dtype)) \
+            * counts["mib"] / max(counts["cycles"], 1)
+    cycle_signal_s = chunk / n_sym_s
+    cells_dev = M * cycle_signal_s / per_cycle
+    return {
+        "device_ms_per_cycle": round(per_cycle * 1e3, 3),
+        "cells_realtime_device": round(cells_dev, 1),
+        "vs_baseline_device": round(cells_dev / BASELINE_CELLS, 1),
+    }
 
 
 if __name__ == "__main__":

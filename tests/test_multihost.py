@@ -7,7 +7,8 @@ full-table parity against the float64 host reference. SURVEY §2.9/§5
 "distributed communication backend"; BASELINE.md multi-host north star.
 """
 
-from lte_cell_scanner_tpu.parallel.multihost import dryrun_multihost
+from lte_cell_scanner_tpu.parallel.multihost import (dryrun_multihost,
+                                                     measure_sweep_scaling)
 
 
 def test_two_process_parity():
@@ -16,3 +17,19 @@ def test_two_process_parity():
     # boundary with both the seq psum and the hyp all_gather.
     dryrun_multihost(n_procs=2, devices_per_proc=2, n_cap=76800, n_f=4,
                      n_hyp=2, verbose=False)
+
+
+def test_sweep_scaling_measured():
+    """MEASURED capture-sharded sweep throughput at 1 vs 2 processes
+    (BASELINE.md: >= 0.9 linear samples/s scaling 1 -> 2 hosts). The
+    capture axis needs zero cross-host traffic, so the only losses are
+    imbalance and the (measured) barrier cost."""
+    res = measure_sweep_scaling(n_procs=2, b_per_proc=2, n_f=2,
+                                n_cap=76800, reps=2, verbose=False)
+    if res["scaling"] < 0.9:
+        # Wall-clock measurement on a single shared core: retry once to
+        # ride out transient load from unrelated processes.
+        res = measure_sweep_scaling(n_procs=2, b_per_proc=2, n_f=2,
+                                    n_cap=76800, reps=2, verbose=False)
+    assert res["scaling"] >= 0.9, res
+    assert res["samples_per_sec_nhost_total"] > res["samples_per_sec_1host"]

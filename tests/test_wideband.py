@@ -94,6 +94,20 @@ def test_channelize_batch_matches_host():
         assert np.abs(got - host).max() < 2e-4 * scale
 
 
+def test_channelize_bank_matches_map():
+    """The one-pass filter-bank formulation and the per-carrier lax.map
+    baseline are independent device derivations of the same math."""
+    from lte_cell_scanner_tpu.search.wideband import (channelize_batch,
+                                                      channelize_batch_map)
+
+    wide, fs_in = _wide_two_cells()
+    fcs = [739e6 + 2.0e6, 739e6 - 1.5e6, 739e6 + 0.7e6]
+    bank = np.asarray(channelize_batch(wide, fs_in, 739e6, fcs))
+    base = np.asarray(channelize_batch_map(wide, fs_in, 739e6, fcs))
+    scale = np.abs(base).max()
+    assert np.abs(bank - base).max() < 2e-4 * scale
+
+
 def test_wideband_sweep_device_backend():
     """backend='jax': channels stay device-resident end to end."""
     wide, fs_in = _wide_two_cells()

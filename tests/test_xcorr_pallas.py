@@ -69,17 +69,22 @@ def test_pallas_tea_matches_roll():
     """Template-embedded-alignment kernel (the default layout): same
     fold as the roll-based kernel (the per-hypothesis k_factor shifts
     are baked into per-fold template banks instead of post-matmul
-    rolls)."""
+    rolls). The Karatsuba 3-matmul variant (tea3) must agree too (its
+    im = m3-m1-m2 recombination adds ~1 ulp of f32 rounding)."""
     cap = _capture(seed=11)
     fset = np.arange(-3, 4) * 5e3
     s_roll, n1 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
                                      interpret=True, layout="roll")
     s_tea, n2 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
                                     interpret=True, layout="tea")
-    assert n1 == n2
+    s_tea3, n3 = xcorr_single_pallas(cap, fset, 739e6, 739e6, 1.92e6,
+                                     interpret=True, layout="tea3")
+    assert n1 == n2 == n3
     a = np.asarray(s_roll, dtype=np.float64)
     b = np.asarray(s_tea, dtype=np.float64)
+    c = np.asarray(s_tea3, dtype=np.float64)
     np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7 * a.max())
+    np.testing.assert_allclose(c, a, rtol=1e-5, atol=1e-6 * a.max())
 
 
 import pytest
