@@ -185,17 +185,17 @@ def main():
         pipelined_decoded = []
         for i in range(REPS):
             tables = np.asarray(scan_out, dtype=np.float64)  # scan(i)
+            # Decode chain for batch i first — its sync/MIB dispatches
+            # and fetches must not queue behind batch i+1's multi-MB
+            # upload on a serialized link; the uploader thread streams
+            # batch i+1 concurrently where the link allows.
+            pipelined_decoded = decode_batch(tables, flat)
             if i + 1 < REPS:
                 dev = fut.result()          # upload normally done by now
                 scan_out = scan_jit(dev)    # device starts scan(i+1)
-                flat_next = to_flat(dev)
+                flat = to_flat(dev)
                 if i + 2 < REPS:
                     fut = ex.submit(jax.device_put, u8)
-            # Decode chain for batch i runs while the device scans
-            # batch i+1 and the uploader streams batch i+2.
-            pipelined_decoded = decode_batch(tables, flat)
-            if i + 1 < REPS:
-                flat = flat_next
         pipelined_ms = (time.time() - t0) / REPS / B * 1e3
     if real:
         # The pipelined path must produce the same bit-correct MIBs.

@@ -52,10 +52,11 @@ from lte_cell_scanner_tpu.utils.dsp import interp1
 
 
 def _bucket(n: int, lo: int = 4) -> int:
-    """Coarse (x4) batch buckets — see ops/sync_jax.py._bucket."""
+    """Coarse batch buckets — see ops/sync_jax.py._bucket (x4 to 64,
+    then x2)."""
     b = lo
     while b < n:
-        b *= 4
+        b *= 4 if b < 64 else 2
     return b
 
 
@@ -240,7 +241,10 @@ class MibPlan:
     phase0: np.ndarray        # (B, n_ofdm) f32 — FOC phase at each start
     inwin: np.ndarray         # (B,) f32 — FOC phase rate per sample
     late: np.ndarray          # (B, n_ofdm) f32
-    ts: np.ndarray            # (B, n_ofdm) f32 — fractional timestamps
+    base: np.ndarray          # (B,) i32 — cap_bases (the device rebuilds
+                              # the f32 timestamps as starts - base - late
+                              # EXACTLY, saving the 4-byte/symbol ts
+                              # upload; starts-base < 2^24 is f32-exact)
     rs_conj: np.ndarray       # (B, 20, 3, 12, 2) f32 — sym classes 0/1/n-3
     shifts: np.ndarray        # (B, 4, 2) i32 — per port, alternating rows
     lower_first: np.ndarray   # (B,) f32 — shift(sym0) < shift(sym n-3)
@@ -279,7 +283,7 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         phase0=np.zeros((B, n_ofdm), np.float32),
         inwin=np.zeros(B, np.float32),
         late=np.zeros((B, n_ofdm), np.float32),
-        ts=np.zeros((B, n_ofdm), np.float32),
+        base=np.zeros(B, np.int32),
         # Sign tables cross the link as int8 and the small gather
         # indices as int16 (values < 1300): together they are ~40% of
         # the plan's upload bytes, which on a PCIe/tunnel link is a
@@ -334,7 +338,7 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
     okf = ok[:, None]
     p.ok[:n] = ok
     p.starts[:n] = np.where(okf, starts + base_v[:, None], 0)
-    p.ts[:n] = np.where(okf, ts, 0.0)
+    p.base[:n] = np.where(ok, base_v, 0)
     p.late[:n] = np.where(okf, starts - ts, 0.0)
     fs_eff = fs_prog * k_factor
     p.phase0[:n] = np.where(okf, np.mod(
@@ -520,9 +524,14 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         return jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)
 
     @jax.jit
-    def run(cap, starts, phase0, inwin, late, ts, rs_conj, shifts,
+    def run(cap, starts, phase0, inwin, late, base, rs_conj, shifts,
             lower_first, pbch_rows, pbch_cols, scr_sign, omk_base,
             inv_fcp):
+        # Rebuild the fractional symbol timestamps on device: the i32
+        # subtraction is exact and starts-base < 2^24, so
+        # (starts - base) - late carries MORE precision than an
+        # uploaded f32 ts (whose ulp at 1.5e5 is ~0.016).
+        ts = (starts - base[:, None]).astype(jnp.float32) - late
         # Unpack the link-compressed tables (see MibPlan): int8 signs
         # scale back to +/-1/sqrt2 QPSK, int16 indices widen to i32.
         rs_conj = rs_conj.astype(jnp.float32) * np.float32(np.sqrt(0.5))
@@ -697,7 +706,7 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
                     fs_programmed, cap_bases=cap_bases)
     run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit)
     out = run(cap_dev, plan.starts, plan.phase0, plan.inwin, plan.late,
-              plan.ts, plan.rs_conj, plan.shifts, plan.lower_first,
+              plan.base, plan.rs_conj, plan.shifts, plan.lower_first,
               plan.pbch_rows, plan.pbch_cols, plan.scr_sign,
               plan.omk_base, plan.inv_fcp)
     packed = np.asarray(out)                     # single D2H fetch (f16)

@@ -55,12 +55,13 @@ def _n_rep_for(n_cap: int) -> int:
 
 
 def _bucket(n: int, lo: int = 4) -> int:
-    """Coarse (x4) batch buckets: every distinct bucket costs a fresh jit
-    compile (minutes through a tunneled chip), and padded decode rows are
-    cheap, so few-and-large beats snug."""
+    """Coarse batch buckets: every distinct bucket costs a fresh jit
+    compile (minutes through a tunneled chip), and padded decode rows
+    are cheap, so few-and-large beats snug — x4 steps up to 64, then x2
+    (a 65-candidate sweep pays 128 padded rows, not 256)."""
     b = lo
     while b < n:
-        b *= 4
+        b *= 4 if b < 64 else 2
     return b
 
 

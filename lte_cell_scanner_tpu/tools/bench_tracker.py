@@ -141,8 +141,11 @@ def main(argv=None):
     try:
         t0 = time.time()
         fed = chunk
-        while fed < len(pdus):
-            hi = min(fed + chunk, len(pdus))
+        # Full chunks only: a trailing partial chunk would change the
+        # dispatch bucket and drop a fresh (tunnel-slow) compile into
+        # the timed region.
+        while fed + chunk <= len(pdus):
+            hi = fed + chunk
             for c in cells:
                 for p in pdus[fed:hi]:
                     c.fifo.append(p)
@@ -153,7 +156,7 @@ def main(argv=None):
         (br._demod_stream_jit, br._stats_jit,
          br.lte_conv_decode_batch) = orig
 
-    signal_s = (len(pdus) - chunk) / n_sym_s
+    signal_s = (fed - chunk) / n_sym_s
     realtime_factor = signal_s / wall
     cells_realtime = M * realtime_factor
     mibs = sum(c.mib_decode_successes for c in cells)
