@@ -683,18 +683,33 @@ def _unpack_mib_host(cell: Cell, bits: np.ndarray, n_ports: int,
     return out
 
 
+@dataclasses.dataclass
+class MibPending:
+    """An in-flight deferred MIB decode (see decode_mib_batch defer)."""
+
+    out: object        # device array, D2H copy already started
+    plan: MibPlan
+    cells: List[Cell]
+
+
 def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
                      fc_programmed: float, fs_programmed: float,
                      cap_dev=None, n_cap: int = None,
-                     cap_bases: Sequence[int] = None) -> List[Cell]:
+                     cap_bases: Sequence[int] = None,
+                     defer: bool = False):
     """Device-batched extract_tfg + tfoec + chan_est + blind MIB decode.
 
     ``cells`` must share one cp_type (bucket by CP before calling).
     ``cap_dev``/``n_cap``/``cap_bases`` as in sync_jax.sss_foe_batch.
     Returns updated Cell records; failures keep n_rb_dl == -1.
+
+    ``defer=True`` returns a :class:`MibPending` instead, with the D2H
+    copy started asynchronously — a pipelined sweep finishes it with
+    :func:`finish_mib_batch` one batch later, so the fetch round trip
+    overlaps the next batch's work instead of blocking this one.
     """
     if not cells:
-        return []
+        return MibPending(None, None, []) if defer else []
     if cap_dev is None:
         capbuf = np.asarray(capbuf)
         cap_dev = jnp.asarray(
@@ -709,7 +724,22 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
               plan.base, plan.rs_conj, plan.shifts, plan.lower_first,
               plan.pbch_rows, plan.pbch_cols, plan.scr_sign,
               plan.omk_base, plan.inv_fcp)
-    packed = np.asarray(out)                     # single D2H fetch (f16)
+    pending = MibPending(out, plan, list(cells))
+    if defer:
+        try:
+            out.copy_to_host_async()
+        except Exception:   # backend without async copies: fetch later
+            pass
+        return pending
+    return finish_mib_batch(pending)
+
+
+def finish_mib_batch(pending: MibPending) -> List[Cell]:
+    """Fetch + unpack a (possibly deferred) MIB decode dispatch."""
+    if not pending.cells:
+        return []
+    plan = pending.plan
+    packed = np.asarray(pending.out)             # single D2H fetch (f16)
     out = {
         "residual_f": np.ascontiguousarray(
             packed[:, :2]).view(np.float32)[:, 0].astype(np.float64),
@@ -718,7 +748,7 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
     }
 
     res: List[Cell] = []
-    for b, cell in enumerate(cells):
+    for b, cell in enumerate(pending.cells):
         c = dataclasses.replace(cell)
         if plan.ok[b]:
             c.freq_superfine = c.freq_fine + float(out["residual_f"][b])

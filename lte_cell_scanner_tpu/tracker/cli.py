@@ -54,6 +54,12 @@ def build_parser():
                         "? help)")
     p.add_argument("--expert", action="store_true")
     p.add_argument("-v", "--verbose", action="count", default=1)
+    for i in range(1, 10):
+        # Hidden scratch debug globals, mirrored from the reference
+        # (src/LTE-Tracker.cpp:52-60): free-form experiment knobs that
+        # land in GlobalState.debug_g and show in the expert status.
+        p.add_argument(f"--g{i}", type=float, default=0.0,
+                       help=argparse.SUPPRESS)
     return p
 
 
@@ -88,6 +94,8 @@ def main(argv=None) -> int:
     trk = LTETracker(args.freq_center, backend=args.backend,
                      batch=args.batch, engine_every=args.engine_every,
                      feeder=args.feeder, on_event=on_event)
+    trk.state.debug_g = tuple(getattr(args, f"g{i}")
+                              for i in range(1, 10))
     try:
         trk.kalibrate(playback_source(sig, repeat=args.repeat,
                                       noise_power=args.noise_power),

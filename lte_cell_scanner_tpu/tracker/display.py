@@ -61,6 +61,10 @@ def render_status(status: dict, expert: bool = False,
     if not status["cells"]:
         lines.append("  (no cells tracked)")
 
+    if expert and any(status.get("debug_g", ())):
+        gs = " ".join(f"g{i + 1}={v:g}"
+                      for i, v in enumerate(status["debug_g"]) if v)
+        lines.append(f"debug: {gs}")
     if expert and tracker is not None:
         for cell in tracker.cells:
             if cell.ce is not None:

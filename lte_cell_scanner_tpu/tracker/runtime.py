@@ -221,6 +221,7 @@ class LTETracker:
             "searcher_cycle_time": self.state.searcher_cycle_time,
             "raw_seconds_dropped": self.state.raw_seconds_dropped,
             "cell_seconds_dropped": self.state.cell_seconds_dropped,
+            "debug_g": self.state.debug_g,
             "cells": [{
                 "n_id_cell": c.n_id_cell,
                 "n_ports": c.n_ports,
