@@ -42,6 +42,13 @@ _JIT_CACHE: dict = {}        # program-key -> jitted sweep callable
                              # sweep invocation)
 
 
+def _cache_put(cache: dict, key, value, cap: int = 8):
+    """Bounded FIFO insert (compiled programs / device banks are MBs)."""
+    if len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 def _to_complex(capbufs: np.ndarray, b: int = None):
     """(B, 2, n) planes (uint8 radio bytes or float) -> complex (B, n)
     (pass-through for complex input); with ``b``, only that capture."""
@@ -172,9 +179,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                          n_cap, n_comb_xc, s0, win_rows)
                 for b in range(B)])
             dev_banks = jax.device_put(jnp.asarray(banks), shard)
-            if len(_DEV_BANK_CACHE) >= 8:
-                _DEV_BANK_CACHE.pop(next(iter(_DEV_BANK_CACHE)))
-            _DEV_BANK_CACHE[dev_key] = dev_banks
+            _cache_put(_DEV_BANK_CACHE, dev_key, dev_banks)
         if is_dev:
             front, total = pad
             cap2 = jax.jit(lambda u: jnp.pad(
@@ -187,8 +192,12 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                 np.stack([capbufs.real, capbufs.imag],
                          1).astype(np.float32), pad)
         interpret = jax.default_backend() == "cpu"
+        # s_col/win_rows/n_tile are baked into the closure below: they
+        # depend on the search grid's fold-misalignment range, so two
+        # grids with identical shapes can still need different kernels.
         jit_key = ("pallas", mesh_key, n_cap, n_comb_xc, n_comb_sp,
-                   ds_comb_arm, float(r_norm), max_peaks)
+                   ds_comb_arm, float(r_norm), max_peaks, s_col,
+                   win_rows, n_tile)
         sweep_jit = _JIT_CACHE.get(jit_key)
         if sweep_jit is None:
             bases_j = jnp.asarray(bases)
@@ -210,7 +219,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                           in_specs=(P("cap"), P("cap")),
                                           out_specs=P("cap"),
                                           check_vma=False))
-            _JIT_CACHE[jit_key] = sweep_jit
+            _cache_put(_JIT_CACHE, jit_key, sweep_jit)
         cap_dev = jax.device_put(jnp.asarray(cap2), shard)
         tables = np.asarray(sweep_jit(cap_dev, dev_banks))
     else:
@@ -237,7 +246,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                           max_peaks=max_peaks)
 
             sweep_jit = jax.jit(jax.vmap(scan_one))
-            _JIT_CACHE[jit_key] = sweep_jit
+            _cache_put(_JIT_CACHE, jit_key, sweep_jit)
         args = [jax.device_put(jnp.asarray(x), shard)
                 for x in (cap_ri, tre, tim, starts)]
         tables = np.asarray(sweep_jit(*args))

@@ -30,36 +30,26 @@ import time
 import numpy as np
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--decim", type=int, default=16,
-                   help="decimation (fs_in = decim * 1.92 Msps)")
-    p.add_argument("--carriers", type=int, default=16)
-    p.add_argument("--iters", type=int, default=24)
-    p.add_argument("--skip-map", action="store_true",
-                   help="skip the slow per-carrier baseline")
-    args = p.parse_args(argv)
+def measure_channelizer(make, fs_in: float, fc_center: float, fcs,
+                        n_wide: int, iters: int = 24):
+    """Per-dispatch device seconds of one channelizer formulation.
 
+    ``make`` is make_channelizer / make_channelizer_map. Chains the
+    program data-dependently inside a lax.scan (iteration i+1's input
+    depends on iteration i's output, so XLA can neither overlap nor CSE
+    them) and returns (slope_seconds, n_out) — the slope between two
+    chain lengths cancels the constant dispatch cost. Shared with
+    bench.py's wideband metric.
+    """
     import jax
     import jax.numpy as jnp
 
-    from lte_cell_scanner_tpu.search.wideband import (CAPLENGTH,
-                                                      make_channelizer,
-                                                      make_channelizer_map)
-
-    fs_in = args.decim * 1.92e6
-    fc_center = 750e6
-    # 100 kHz-raster carriers straddling the band center.
-    fcs = [fc_center + (i - args.carriers // 2) * 100e3
-           for i in range(args.carriers)]
-    n_wide = (CAPLENGTH + 64) * args.decim
     rng = np.random.default_rng(0)
     planes = rng.standard_normal((2, n_wide)).astype(np.float32)
+    run, consts, n_out = make(fs_in, fc_center, fcs, n_wide)
+    cap_j = jnp.asarray(planes)
 
-    def chain(run, consts, n):
-        """Data-dependent chaining: iteration i+1's input depends on
-        iteration i's output, so XLA cannot overlap or CSE them."""
-
+    def chain(n):
         def step(c, _):
             out = run(c, *consts)
             eps = jnp.where(out[0, 0, 0] > 1e30, 1.0, 0.0)
@@ -71,18 +61,41 @@ def main(argv=None):
 
         return go
 
+    times = {}
+    for n in (max(1, iters // 4), iters):
+        go = chain(n)
+        np.asarray(go(cap_j))                 # compile
+        t0 = time.time()
+        np.asarray(go(cap_j))                 # honest D2H-forced run
+        times[n] = time.time() - t0
+    n1, n2 = sorted(times)
+    return (times[n2] - times[n1]) / (n2 - n1), n_out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--decim", type=int, default=16,
+                   help="decimation (fs_in = decim * 1.92 Msps)")
+    p.add_argument("--carriers", type=int, default=16)
+    p.add_argument("--iters", type=int, default=24)
+    p.add_argument("--skip-map", action="store_true",
+                   help="skip the slow per-carrier baseline")
+    args = p.parse_args(argv)
+
+    from lte_cell_scanner_tpu.search.wideband import (CAPLENGTH,
+                                                      make_channelizer,
+                                                      make_channelizer_map)
+
+    fs_in = args.decim * 1.92e6
+    fc_center = 750e6
+    # 100 kHz-raster carriers straddling the band center.
+    fcs = [fc_center + (i - args.carriers // 2) * 100e3
+           for i in range(args.carriers)]
+    n_wide = (CAPLENGTH + 64) * args.decim
+
     def measure(make):
-        run, consts, n_out = make(fs_in, fc_center, fcs, n_wide)
-        cap_j = jnp.asarray(planes)
-        times = {}
-        for n in (max(1, args.iters // 4), args.iters):
-            go = chain(run, consts, n)
-            np.asarray(go(cap_j))                 # compile
-            t0 = time.time()
-            np.asarray(go(cap_j))                 # honest D2H-forced run
-            times[n] = time.time() - t0
-        n1, n2 = sorted(times)
-        return (times[n2] - times[n1]) / (n2 - n1), n_out
+        return measure_channelizer(make, fs_in, fc_center, fcs, n_wide,
+                                   iters=args.iters)
 
     bank_s, n_out = measure(make_channelizer)
     res = {

@@ -191,6 +191,29 @@ def test_sharded_fc_sweep_pallas_path(capbuf_0000):
             assert abs(g.pss_pow - r.pss_pow) < 1e-4 * r.pss_pow
 
 
+def test_sharded_fc_sweep_jit_cache_grid_change(capbuf_0000):
+    """Regression: the cached sweep program must not be reused across
+    search grids whose fold-misalignment range (s0/s_col) differs —
+    an early cache key omitted them and returned peaks shifted by the
+    s0 delta after a grid change in the same process."""
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (make_cap_mesh,
+                                                        sharded_fc_sweep)
+
+    cap0, fc0 = capbuf_0000
+    caps = np.stack([cap0[:48000]])
+    mesh = make_cap_mesh(1)
+    neg = np.array([-50e3, -45e3])
+    pos = np.array([45e3, 50e3])
+    # Fresh-process expectation for the positive grid, then the same
+    # sweep after the negative grid has populated the caches.
+    want = sharded_fc_sweep(caps, [fc0], pos, mesh, use_pallas=True)
+    sharded_fc_sweep(caps, [fc0], neg, mesh, use_pallas=True)
+    got = sharded_fc_sweep(caps, [fc0], pos, mesh, use_pallas=True)
+    assert [(c.n_id_2, c.ind) for c in got[0]] == \
+        [(c.n_id_2, c.ind) for c in want[0]]
+    assert len(want[0]) > 0
+
+
 def test_sharded_sweep_uint8_radio_bytes(capbuf_0000):
     """uint8 (B, 2, n) radio-byte captures run the whole sharded sweep
     (scan + full MIB decode) with on-device conversion."""
