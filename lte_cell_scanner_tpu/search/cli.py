@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fs-in", type=float, default=None,
                    help="wideband recording's sample rate (Hz; default: "
                         "the .it file's fs field)")
+    p.add_argument("--wideband-rtl-sdr", action="store_true",
+                   help="the --wideband file is raw uint8 IQ (rtl_sdr "
+                        "format) instead of .it; requires --fc-center")
+    p.add_argument("--fc-center", type=float, default=None,
+                   help="wideband recording's center frequency (Hz; "
+                        "required for raw recordings, overrides the .it "
+                        "file's fc field otherwise)")
     return p
 
 
@@ -188,9 +195,20 @@ def _wideband_sweep(args, f_search_set, verbosity: int) -> int:
     if args.fs_in is None:
         sys.exit("Error: --wideband requires --fs-in (the recording's "
                  "sample rate in Hz)")
-    d = load_it(args.wideband)
-    wide = d["capbuf"]
-    fc_center = float(np.asarray(d["fc"]).ravel()[0])
+    if args.wideband_rtl_sdr:
+        # Raw uint8 IQ (the dongle's native file format) carries no
+        # metadata: the center frequency comes from the command line.
+        if args.fc_center is None:
+            sys.exit("Error: --wideband-rtl-sdr requires --fc-center")
+        from lte_cell_scanner_tpu.io.raw import load_rtl_sdr
+
+        wide = load_rtl_sdr(args.wideband, fs=args.fs_in)
+        fc_center = args.fc_center
+    else:
+        d = load_it(args.wideband)
+        wide = d["capbuf"]
+        fc_center = (args.fc_center if args.fc_center is not None
+                     else float(np.asarray(d["fc"]).ravel()[0]))
     fcs = wideband_carriers(args.fs_in, fc_center, args.freq_start,
                             args.freq_end)
     if not fcs:

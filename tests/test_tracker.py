@@ -137,6 +137,24 @@ def test_overload_drops_seconds(sim_signal):
     assert trk.state.cell_seconds_dropped > before
 
 
+def test_debug_globals_flags():
+    """The reference's hidden --g1..--g9 scratch globals
+    (src/LTE-Tracker.cpp:52-60): parsed, landed in GlobalState.debug_g,
+    surfaced in the expert status view."""
+    from lte_cell_scanner_tpu.tracker.cli import build_parser
+    from lte_cell_scanner_tpu.tracker.display import render_status
+
+    args = build_parser().parse_args(
+        ["-f", "739e6", "--simulate", "--g2", "1.5", "--g9", "-3"])
+    g = tuple(getattr(args, f"g{i}") for i in range(1, 10))
+    assert g == (0.0, 1.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, -3.0)
+    trk = LTETracker(739e6)
+    trk.state.debug_g = g
+    out = render_status(trk.status(), expert=True)
+    assert "g2=1.5" in out and "g9=-3" in out
+    assert "g1=" not in out                    # zeros stay hidden
+
+
 def test_curses_display_renderer(sim_signal):
     """The interactive UI renderer is a pure function of tracker state."""
     from lte_cell_scanner_tpu.tracker.curses_display import (

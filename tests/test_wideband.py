@@ -77,6 +77,25 @@ def test_wideband_cli(tmp_path, capsys):
     assert "271" in out.splitlines()[-2] + out.splitlines()[-1]
 
 
+def test_wideband_cli_raw_rtl_sdr(tmp_path, capsys):
+    """--wideband-rtl-sdr: a raw uint8 IQ wideband recording (the
+    dongle's native file format, no metadata) with --fc-center."""
+    from lte_cell_scanner_tpu.io.raw import iq_to_bytes
+    from lte_cell_scanner_tpu.search import cli
+
+    wide, fs_in = _wide_two_cells()
+    # Headroom so the two-cell composite survives 8-bit quantization.
+    scaled = wide / (4 * np.abs(wide).std())
+    path = str(tmp_path / "wide.raw")
+    iq_to_bytes(scaled).tofile(path)
+    rc = cli.main(["-s", "741e6", "-p", "10",
+                   "--wideband", path, "--wideband-rtl-sdr",
+                   "--fs-in", str(fs_in), "--fc-center", "739e6"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "741 MHz: cell ID 271" in out
+
+
 def test_channelize_batch_matches_host():
     """The one-dispatch device channelizer tracks the float64 host
     channelizer (f32 + wrapped-phase rotation) per carrier."""
