@@ -319,7 +319,7 @@ def main():
     }))
 
 
-if __name__ == "__main__":
+def _run_with_retry():
     # The tunneled TPU backend occasionally throws a transient
     # FAILED_PRECONDITION on a dispatch; one retry covers it without
     # masking real failures.
@@ -334,3 +334,31 @@ if __name__ == "__main__":
             main()
         else:
             raise
+
+
+if __name__ == "__main__":
+    if os.environ.get("LTE_BENCH_CHILD"):
+        _run_with_retry()
+    else:
+        # Watchdog: the TPU tunnel on this machine occasionally WEDGES
+        # (dispatches hang indefinitely, not error). Run the real bench
+        # in a child with a generous deadline so a wedged tunnel still
+        # yields a diagnostic JSON line instead of a silent hang.
+        import subprocess
+        import sys
+
+        env = dict(os.environ, LTE_BENCH_CHILD="1")
+        deadline = float(os.environ.get("LTE_BENCH_TIMEOUT", "2400"))
+        try:
+            rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                                 env=env, timeout=deadline)
+            if rc != 0:
+                raise RuntimeError(f"bench child exited {rc}")
+        except (subprocess.TimeoutExpired, RuntimeError) as e:
+            print(json.dumps({
+                "metric": "cellsearch_wallclock_per_fc_ms",
+                "value": None,
+                "unit": "ms",
+                "error": f"bench did not complete: {e} (TPU tunnel "
+                         "unresponsive or backend failure)",
+            }))
