@@ -245,9 +245,17 @@ class BatchTrackerEngine:
         for c, _ in work:
             c.fifo.clear()
         if work:
+            # Dispatch order is chosen to keep the device and the host
+            # link busy concurrently: the stats program is dispatched
+            # BEFORE the demod results are fetched (its planning needs
+            # only host-side metadata), so the demod fetch's round trip
+            # overlaps the stats compute instead of idling the device.
             cyc = self._dispatch_demod(work)
             self._host_route(work, cyc)
-            self._dispatch_stats(work, cyc)
+            sp = self._dispatch_stats_dispatch(work, cyc)
+            self._ingest_demod(work, cyc)
+            if sp is not None:
+                self._stats_finish(work, sp)
         else:
             # Nothing consumes the sample ring (searcher still hunting or
             # all cells dropped): prune it so it cannot grow unboundedly.
@@ -373,35 +381,33 @@ class BatchTrackerEngine:
                 *common)
         else:
             flat, ce_dev = _demod_jit(jnp.asarray(data), *common)
-        kept, s_tp, s_sp, s_np, s_npb, s_ce = _unpack(flat, [
-            (Cb, Q, 72, 2), (Cb, K), (Cb, K), (Cb, K), (Cb, K),
-            (Cb, 62, 2)])
-        cyc.update(kept=kept, sync=(s_tp, s_sp, s_np, s_npb, s_ce),
-                   ce_dev=ce_dev, R=R)
+        # Fetch deferred to _ingest_demod (after the stats dispatch).
+        cyc.update(flat_dev=flat, Q=Q, K=K, ce_dev=ce_dev, R=R,
+                   patch=[])
         return cyc
 
     # ------------------------------------------------------------------
-    def _host_route(self, work, cyc) -> None:
-        """Assign sequence numbers; queue sync/PBCH symbols; build raw-CE
-        row METADATA per (cell, port) (values stay on device); stage the
-        sync measurements keyed by their PSS symbol's sequence number."""
-        s_tp, s_sp, s_np, s_npb, s_ce = cyc["sync"]
-        for ci, (cell, pdus) in enumerate(work):
+    def _ingest_demod(self, work, cyc) -> None:
+        """Fetch dispatch 1's packed results and land them on host:
+        patch the pending PBCH placeholders with their demodulated
+        symbols, stage the sync measurements. Runs AFTER the stats
+        dispatch so this round trip overlaps device compute; everything
+        filled here is only consumed from _stats_finish/_finalize
+        onward."""
+        Cb, Q, K = cyc["Cb"], cyc["Q"], cyc["K"]
+        kept, s_tp, s_sp, s_np, s_npb, s_ce = _unpack(cyc["flat_dev"], [
+            (Cb, Q, 72, 2), (Cb, K), (Cb, K), (Cb, K), (Cb, K),
+            (Cb, 62, 2)])
+        kept_c = {}
+        for ctx, pos, ci, qi in cyc["patch"]:
+            if ci not in kept_c:
+                kept_c[ci] = bf.from_ri(kept[ci])
+            seq, slot, sym, _ = ctx.pending[pos]
+            ctx.pending[pos] = (seq, slot, sym, kept_c[ci][qi])
+        for ci, (cell, _) in enumerate(work):
             ctx = self.ctx[_key(cell)]
             info = cyc["cells"][ci]
-            seq0 = ctx.seq
-            ctx.seq += info["n"]
-            info["seq0"] = seq0
-            kept = bf.from_ri(cyc["kept"][ci])               # (Q, 72)
-            interesting = {}
-            for qi, si in enumerate(info["keep"]):
-                interesting[int(si)] = kept[qi]
-            for si in info["sync_meta"]:
-                interesting.setdefault(int(si), None)
-            for si in sorted(interesting):
-                ctx.pending.append((seq0 + si, int(info["slots"][si]),
-                                    int(info["syms"][si]),
-                                    interesting[si]))
+            seq0 = info["seq0"]
             for pi, (a, b) in enumerate(info["pairs"]):
                 ctx.sync_vals[seq0 + b] = (
                     int(info["slots"][a]), float(s_tp[ci, pi]),
@@ -410,6 +416,30 @@ class BatchTrackerEngine:
             if info["pairs"]:
                 # display CE of the cell's last pair this cycle
                 ctx._sync_ce_latest = bf.from_ri(s_ce[ci])
+
+    # ------------------------------------------------------------------
+    def _host_route(self, work, cyc) -> None:
+        """Assign sequence numbers; queue sync/PBCH symbols (their
+        demodulated values arrive later — _ingest_demod patches the
+        placeholders after the stats dispatch); build raw-CE row
+        METADATA per (cell, port) (values stay on device)."""
+        for ci, (cell, pdus) in enumerate(work):
+            ctx = self.ctx[_key(cell)]
+            info = cyc["cells"][ci]
+            seq0 = ctx.seq
+            ctx.seq += info["n"]
+            info["seq0"] = seq0
+            interesting = {}                  # si -> kept index or None
+            for qi, si in enumerate(info["keep"]):
+                interesting[int(si)] = qi
+            for si in info["sync_meta"]:
+                interesting.setdefault(int(si), None)
+            for si in sorted(interesting):
+                if interesting[si] is not None:
+                    cyc["patch"].append((ctx, len(ctx.pending), ci,
+                                         interesting[si]))
+                ctx.pending.append((seq0 + si, int(info["slots"][si]),
+                                    int(info["syms"][si]), None))
             rows_per_port = []
             for port in range(cell.n_ports):
                 present = info["shift_r"][:, port] >= 0      # (Rc,)
@@ -427,10 +457,12 @@ class BatchTrackerEngine:
             info["rows"] = rows_per_port
 
     # ------------------------------------------------------------------
-    def _dispatch_stats(self, work, cyc) -> None:
-        """Dispatch 2: every complete RS triple gathered on device from
-        dispatch 1's CE rows + the uploaded 2-row carry; vectorized
-        feedback blends in host order."""
+    def _dispatch_stats_dispatch(self, work, cyc):
+        """Dispatch 2 (dispatch half): every complete RS triple gathered
+        on device from dispatch 1's CE rows + the uploaded 2-row carry.
+        Planning needs only host-side metadata, so this runs before the
+        demod fetch; returns the pending-state dict for _stats_finish
+        (or None when there is nothing to do)."""
         C, P, R = cyc["Cb"], cyc["P"], cyc["R"]
         carry_vals = np.zeros((C, P, 2, 12, 2), np.float32)
         carry_idx = np.zeros((C, P, 2), np.int32)
@@ -463,7 +495,7 @@ class BatchTrackerEngine:
                     if n_keep else 0
                 segments[-1] += (n_keep,)
         if total == 0 and not any(s[-1] for s in segments):
-            return
+            return None
 
         T = _bucket(max(1, total))
         tri = np.zeros((T, 3), np.int32)
@@ -500,6 +532,22 @@ class BatchTrackerEngine:
                           jnp.asarray(tri), jnp.asarray(pl),
                           jnp.asarray(seg_id), jnp.asarray(emit_pad),
                           jnp.asarray(carry_idx), C + 1)
+        try:
+            # Start the D2H copy now; _stats_finish consumes it after
+            # the demod ingestion has had its round trip.
+            flat.copy_to_host_async()
+            cyc["flat_dev"].copy_to_host_async()
+        except Exception:
+            pass
+        return dict(flat=flat, T=T, E=E, C=C, P=P, total=total,
+                    segments=segments, emit_idx=emit_idx)
+
+    def _stats_finish(self, work, sp) -> None:
+        """Dispatch 2 (finish half): fetch + the vectorized feedback
+        blends in host order."""
+        flat, T, E, C, P = sp["flat"], sp["T"], sp["E"], sp["C"], sp["P"]
+        total, segments = sp["total"], sp["segments"]
+        emit_idx = sp["emit_idx"]
         (np_c, sp_c, foe_comb, foe_np, delay, delay_np, ce_filt_e, scal_e,
          ac_sum, acw_sum, carry_out) = _unpack(flat, [
              (T,), (T,), ("f32", (T, 2)), ("f32", (T,)),
