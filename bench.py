@@ -161,6 +161,18 @@ def main():
         dev = jax.device_put(u8)
         return np.asarray(scan_jit(dev), dtype=np.float64)
 
+    # Link-health telemetry: the tunnel's H2D rate on this box drifts
+    # 19-50 MB/s by the hour and dominates every wall-clock number
+    # below; recording it makes cross-run comparisons interpretable.
+    def h2d_mbps():
+        probe = np.zeros(4 << 20, np.uint8)
+        consume = jax.jit(lambda u: jnp.sum(u.astype(jnp.float32)))
+        np.asarray(consume(jax.device_put(probe)))       # warm
+        t0 = time.time()
+        probe[0] ^= 1                                    # defeat caching
+        np.asarray(consume(jax.device_put(probe)))
+        return len(probe) / (time.time() - t0) / 1e6
+
     # Warm-up (compiles everything).
     tables, decoded = full_pipeline()
     real = os.path.exists("/root/reference/test/capbuf_0000.it")
@@ -292,6 +304,11 @@ def main():
     except Exception:  # pragma: no cover - keep the headline alive
         multihost = None
 
+    try:
+        link_mbps = round(h2d_mbps(), 1) if not interpret else None
+    except Exception:  # pragma: no cover - telemetry must not kill bench
+        link_mbps = None
+
     full_ms = np.array(full_times) / B * 1e3
     scan_ms = np.array(scan_times) / B * 1e3
     value = float(np.median(full_ms))
@@ -315,6 +332,7 @@ def main():
                                       if wb_ms_per_carrier else None),
         "decoded_cells_per_fc": len(decoded) / B,
         "multihost": multihost,
+        "h2d_mbps": link_mbps,
         "batch": B,
     }))
 
