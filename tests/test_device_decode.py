@@ -76,6 +76,24 @@ def test_mib_stage_parity(real_peaks):
         assert abs(g.freq_superfine - h.freq_superfine) < 0.5
 
 
+def test_mib_deferred_fetch_identical(real_peaks):
+    """decode_mib_batch(defer=True) + finish_mib_batch must equal the
+    direct call (the pipelined sweep collects MIB results one batch
+    later to overlap the fetch round trip)."""
+    from lte_cell_scanner_tpu.ops.mib_jax import finish_mib_batch
+
+    cap, fc, peaks = real_peaks
+    synced = sss_foe_batch(peaks, cap, fc, fc, 1.92e6, THRESH2_N_SIGMA)
+    alive = [c for c in synced if c.n_id_1 >= 0]
+    direct = decode_mib_batch(alive, cap, fc, fc, 1.92e6)
+    pending = decode_mib_batch(alive, cap, fc, fc, 1.92e6, defer=True)
+    deferred = finish_mib_batch(pending)
+    assert [dataclasses.asdict(c) for c in deferred] == \
+        [dataclasses.asdict(c) for c in direct]
+    assert finish_mib_batch(decode_mib_batch(
+        [], cap, fc, fc, 1.92e6, defer=True)) == []
+
+
 def test_e2e_device_backend(capbuf_0000):
     """cell_search(backend='jax') runs the whole per-peak chain on the
     device path and finds cells 277 + 271 with correct MIBs."""
