@@ -165,13 +165,21 @@ def main():
     # 19-50 MB/s by the hour and dominates every wall-clock number
     # below; recording it makes cross-run comparisons interpretable.
     def h2d_mbps():
-        probe = np.zeros(4 << 20, np.uint8)
+        probe = np.zeros(8 << 20, np.uint8)
         consume = jax.jit(lambda u: jnp.sum(u.astype(jnp.float32)))
-        np.asarray(consume(jax.device_put(probe)))       # warm
+        tiny = np.zeros(64, np.uint8)
+        np.asarray(consume(jax.device_put(probe)))       # warm (compile)
+        np.asarray(consume(jax.device_put(tiny)))        # warm tiny shape
+        # Subtract the fixed dispatch round trip (measured with a tiny
+        # payload) so the reported rate is the transfer term alone.
+        t0 = time.time()
+        np.asarray(consume(jax.device_put(tiny)))
+        t_rtt = time.time() - t0
         t0 = time.time()
         probe[0] ^= 1                                    # defeat caching
         np.asarray(consume(jax.device_put(probe)))
-        return len(probe) / (time.time() - t0) / 1e6
+        dt = time.time() - t0 - t_rtt
+        return len(probe) / max(dt, 1e-6) / 1e6
 
     # Warm-up (compiles everything).
     tables, decoded = full_pipeline()
@@ -380,3 +388,4 @@ if __name__ == "__main__":
                 "error": f"bench did not complete: {e} (TPU tunnel "
                          "unresponsive or backend failure)",
             }))
+            sys.exit(1)   # automation keyed on exit status sees failure

@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "the one capture and swept data-parallel")
     p.add_argument("--fs-in", type=float, default=None,
                    help="wideband recording's sample rate (Hz; default: "
-                        "the .it file's fs field)")
+                        "the .it file's fs field, if the recording "
+                        "carries one)")
     p.add_argument("--wideband-rtl-sdr", action="store_true",
                    help="the --wideband file is raw uint8 IQ (rtl_sdr "
                         "format) instead of .it; requires --fc-center")
@@ -192,12 +193,13 @@ def _wideband_sweep(args, f_search_set, verbosity: int) -> int:
     from lte_cell_scanner_tpu.search.wideband import (wideband_carriers,
                                                       wideband_search_sweep)
 
-    if args.fs_in is None:
-        sys.exit("Error: --wideband requires --fs-in (the recording's "
-                 "sample rate in Hz)")
     if args.wideband_rtl_sdr:
         # Raw uint8 IQ (the dongle's native file format) carries no
-        # metadata: the center frequency comes from the command line.
+        # metadata: rate and center frequency come from the command
+        # line.
+        if args.fs_in is None:
+            sys.exit("Error: --wideband-rtl-sdr requires --fs-in (the "
+                     "recording's sample rate in Hz)")
         if args.fc_center is None:
             sys.exit("Error: --wideband-rtl-sdr requires --fc-center")
         from lte_cell_scanner_tpu.io.raw import load_rtl_sdr
@@ -207,6 +209,11 @@ def _wideband_sweep(args, f_search_set, verbosity: int) -> int:
     else:
         d = load_it(args.wideband)
         wide = d["capbuf"]
+        if args.fs_in is None and "fs" in d:
+            args.fs_in = float(np.asarray(d["fs"]).ravel()[0])
+        if args.fs_in is None:
+            sys.exit("Error: --wideband requires --fs-in (the recording "
+                     "carries no fs field)")
         fc_center = (args.fc_center if args.fc_center is not None
                      else float(np.asarray(d["fc"]).ravel()[0]))
     fcs = wideband_carriers(args.fs_in, fc_center, args.freq_start,

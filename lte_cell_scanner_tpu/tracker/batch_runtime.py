@@ -252,8 +252,14 @@ class BatchTrackerEngine:
             # overlaps the stats compute instead of idling the device.
             cyc = self._dispatch_demod(work)
             self._host_route(work, cyc)
-            sp = self._dispatch_stats_dispatch(work, cyc)
-            self._ingest_demod(work, cyc)
+            sp = None
+            try:
+                sp = self._dispatch_stats_dispatch(work, cyc)
+            finally:
+                # Always land the demod values: a stats-dispatch error
+                # (transient tunnel failures happen) must not leave
+                # permanent None placeholders in ctx.pending.
+                self._ingest_demod(work, cyc)
             if sp is not None:
                 self._stats_finish(work, sp)
         else:
@@ -382,6 +388,13 @@ class BatchTrackerEngine:
         else:
             flat, ce_dev = _demod_jit(jnp.asarray(data), *common)
         # Fetch deferred to _ingest_demod (after the stats dispatch).
+        # The D2H copy is enqueued HERE — first and unconditionally —
+        # so on an in-order transfer transport it starts as soon as the
+        # demod program finishes, never queued behind the stats copy.
+        try:
+            flat.copy_to_host_async()
+        except Exception:
+            pass
         cyc.update(flat_dev=flat, Q=Q, K=K, ce_dev=ce_dev, R=R,
                    patch=[])
         return cyc
@@ -534,9 +547,9 @@ class BatchTrackerEngine:
                           jnp.asarray(carry_idx), C + 1)
         try:
             # Start the D2H copy now; _stats_finish consumes it after
-            # the demod ingestion has had its round trip.
+            # the demod ingestion has had its round trip. (The demod
+            # output's copy was already enqueued at its dispatch site.)
             flat.copy_to_host_async()
-            cyc["flat_dev"].copy_to_host_async()
         except Exception:
             pass
         return dict(flat=flat, T=T, E=E, C=C, P=P, total=total,
@@ -710,7 +723,10 @@ class BatchTrackerEngine:
                             and len(pt) == n_ports:
                         self._crs_update(cell, pt)
                 if slot_num == 1 and sym_num <= 3:
-                    if pt is None or len(pt) < n_ports:
+                    # syms is None only if an ingest failure left a
+                    # placeholder unpatched — drop it rather than feed
+                    # the MIB chain a hole.
+                    if pt is None or len(pt) < n_ports or syms is None:
                         continue
                     ce = np.stack([pt[p][0] for p in range(n_ports)])
                     np_ = np.array([pt[p][1]["np_"] for p in range(n_ports)])

@@ -68,9 +68,10 @@ def test_wideband_cli(tmp_path, capsys):
     wide, fs_in = _wide_two_cells()
     path = str(tmp_path / "wide.it")
     save_it(path, {"capbuf": wide.astype(np.complex128),
-                   "fc": np.array([739e6])})
-    rc = cli.main(["-s", "741e6", "-p", "10",
-                   "--wideband", path, "--fs-in", str(fs_in)])
+                   "fc": np.array([739e6]),
+                   "fs": np.array([fs_in])})
+    # --fs-in omitted: the .it file's fs field is the documented default
+    rc = cli.main(["-s", "741e6", "-p", "10", "--wideband", path])
     out = capsys.readouterr().out
     assert rc == 0
     assert "741 MHz: cell ID 271" in out
