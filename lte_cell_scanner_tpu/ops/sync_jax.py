@@ -39,7 +39,7 @@ from lte_cell_scanner_tpu.models.cell import Cell
 from lte_cell_scanner_tpu.models.pss import pss_fd
 from lte_cell_scanner_tpu.models.sss import sss_fd_all
 from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cmul, _cconj
-from lte_cell_scanner_tpu.utils.dsp import matlab_range, wrap
+from lte_cell_scanner_tpu.utils.dsp import wrap
 
 N_REP = 16   # PSS repetitions in an 80 ms capture (ceil(153600/9600))
 N_SSS = 16   # PSS/SSS pairs available to the fine FOE in 80 ms
