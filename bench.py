@@ -81,12 +81,15 @@ def main():
     front = pad_len[0] if isinstance(pad_len, tuple) else 0
     r_norm = r_th1_normalized(n_comb_xc, DS_COMB_ARM)
 
-    # Raw radio bytes: (B, 2, pad_len) uint8, converted on device.
+    # Raw radio bytes: (B, 2, n_cap) uint8, exactly what the dongle
+    # emits — the TEA layout's front/back padding is applied ON DEVICE
+    # so the pad bytes (~4% at production shapes) never cross the link.
     cap2 = np.stack([cap.real, cap.imag]).astype(np.float32)
-    u8_one = pad_capture(
-        np.clip(np.round(cap2 * 128.0 + 127.0), 0, 255).astype(np.uint8),
-        pad_len)
+    u8_one = np.clip(np.round(cap2 * 128.0 + 127.0), 0,
+                     255).astype(np.uint8)
     u8 = np.stack([u8_one] * B)
+    total_pad = pad_len[1] if isinstance(pad_len, tuple) else pad_len
+    back = total_pad - front - n_cap
 
     interpret = jax.default_backend() == "cpu"  # no-TPU fallback
 
@@ -94,6 +97,9 @@ def main():
         # lax.map: ONE kernel instance in the HLO (a Python loop here
         # would clone the Pallas kernel B times — minutes of avoidable
         # first-compile through a tunneled chip).
+        u8p = jnp.pad(u8b, ((0, 0), (0, 0), (front, back)),
+                      constant_values=np.uint8(127))   # zero-level byte
+
         def one(c):
             return scan_and_peaks_pallas(c, bank_j, bases_j, offs_j,
                                          r_norm, n_comb_xc, n_comb_sp,
@@ -101,17 +107,15 @@ def main():
                                          n_tile=n_tile,
                                          interpret=interpret)
 
-        return jax.lax.map(one, u8b)
+        return jax.lax.map(one, u8p)
 
     scan_jit = jax.jit(scan_all)
 
     @jax.jit
     def to_flat(u8b):
         """uint8 batch -> flattened (B*n_cap, 2) f32 capture stack for
-        the decode dispatches (no extra host->device transfer; skips the
-        TEA layout's 128-sample front pad)."""
-        raw = u8b[:, :, front:front + n_cap]
-        f = (raw.astype(jnp.float32) - 127.0) / 128.0
+        the decode dispatches (no extra host->device transfer)."""
+        f = (u8b.astype(jnp.float32) - 127.0) / 128.0
         return jnp.moveaxis(f, 1, 2).reshape(B * n_cap, 2)
 
     from lte_cell_scanner_tpu.ops.mib_jax import finish_mib_batch

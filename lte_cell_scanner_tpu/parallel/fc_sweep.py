@@ -155,7 +155,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         from jax import shard_map
 
         from lte_cell_scanner_tpu.ops.xcorr_pallas import (
-            DEFAULT_TILE, pad_capture, plan_tiles_tea, xcorr_core_pallas)
+            DEFAULT_TILE, plan_tiles_tea, xcorr_core_pallas)
 
         # One shared schedule for the whole sweep: the bases are
         # fc-independent; the per-fc fold misalignments d live in the
@@ -180,21 +180,23 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                 for b in range(B)])
             dev_banks = jax.device_put(jnp.asarray(banks), shard)
             _cache_put(_DEV_BANK_CACHE, dev_key, dev_banks)
+        # The capture crosses the link UNPADDED — each shard applies
+        # the TEA front/back padding on device (sample axis only, so
+        # per-shard padding is exact and no pad bytes ride the link).
         if is_dev:
-            front, total = pad
-            cap2 = jax.jit(lambda u: jnp.pad(
-                u, ((0, 0), (0, 0),
-                    (front, total - front - n_cap))))(capbufs)
+            cap2 = capbufs
         elif capbufs.dtype == np.uint8:
-            cap2 = pad_capture(capbufs, pad)       # (B, 2, pad_len) u8
+            cap2 = capbufs                         # (B, 2, n_cap) u8
         else:
-            cap2 = pad_capture(
-                np.stack([capbufs.real, capbufs.imag],
-                         1).astype(np.float32), pad)
+            cap2 = np.stack([capbufs.real, capbufs.imag],
+                            1).astype(np.float32)
+        front, total = pad
+        back = total - front - n_cap
         interpret = jax.default_backend() == "cpu"
-        # s_col/win_rows/n_tile are baked into the closure below: they
-        # depend on the search grid's fold-misalignment range, so two
-        # grids with identical shapes can still need different kernels.
+        # s_col/win_rows/n_tile (and the in-program pad geometry) are
+        # baked into the closure below: they depend on the search
+        # grid's fold-misalignment range, so two grids with identical
+        # shapes can still need different kernels.
         jit_key = ("pallas", mesh_key, n_cap, n_comb_xc, n_comb_sp,
                    ds_comb_arm, float(r_norm), max_peaks, s_col,
                    win_rows, n_tile)
@@ -203,6 +205,11 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             bases_j = jnp.asarray(bases)
 
             def local_scan(cap_loc, bank_loc):
+                fill = (np.uint8(127) if cap_loc.dtype == jnp.uint8
+                        else cap_loc.dtype.type(0))  # zero-level sample
+                cap_p = jnp.pad(cap_loc, ((0, 0), (0, 0), (front, back)),
+                                constant_values=fill)
+
                 def one(args):
                     c, bk = args
                     packed, single, _ = xcorr_core_pallas(
@@ -213,7 +220,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                               ds_comb_arm,
                                               max_peaks=max_peaks)
 
-                return jax.lax.map(one, (cap_loc, bank_loc))
+                return jax.lax.map(one, (cap_p, bank_loc))
 
             sweep_jit = jax.jit(shard_map(local_scan, mesh=mesh,
                                           in_specs=(P("cap"), P("cap")),
