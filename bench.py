@@ -205,12 +205,14 @@ def main():
     # Pipelined sweep: the production fc sweep as a 2-deep software
     # pipeline. An uploader thread keeps the host->device byte stream
     # (the dominant cost on any PCIe/tunnel link) running TWO batches
-    # ahead, while the main thread's per-batch critical path is only
-    #   fetch scan tables(i) -> dispatch scan(i+1)
-    #   -> host planning + sync/MIB dispatches + fetches for batch i,
-    # so batch i's decode chain overlaps both batch i+1's upload and
-    # batch i+1's scan compute. Steady-state throughput, not latency;
-    # the pipeline-fill upload of batch 0 is outside the timed region.
+    # ahead; the main thread's per-batch critical path is
+    #   fetch scan tables(i) -> sync dispatch+fetch(i) + MIB dispatch(i)
+    #   -> collect batch i-1's deferred MIB results
+    #   -> dispatch scan(i+1),
+    # so batch i's decode chain overlaps batch i+1's upload, and batch
+    # i's MIB fetch overlaps batch i+1's scan. Steady-state throughput,
+    # not latency; the pipeline-fill upload of batch 0 is outside the
+    # timed region.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(1) as ex:
