@@ -34,13 +34,20 @@ def _tables():
 
 def _decode_one(d_llr):
     """(3, n) LLR ln(P0/P1) -> (n,) bits. Jittable; vmapped by the batch
-    wrapper."""
+    wrapper.
+
+    Two passes: the joint (start_state, current_state) metric pass finds
+    the ML tail-biting start WITHOUT storing backpointers (the joint
+    trellis's (n, 64, 64) backpointer stack is ~0.5 GB of HBM traffic at
+    the MIB batch sizes — it dominated the whole decode program), then a
+    single-start replay with the identical tie-breaking (m1 > m0)
+    reproduces the same survivor path with an (n, 64) stack."""
     signs_np, pred0_np, in_bit_np = _tables()
     signs = jnp.asarray(signs_np)
     pred0 = jnp.asarray(pred0_np)
     pred1 = pred0 + 1
     in_bit = jnp.asarray(in_bit_np)
-    n = d_llr.shape[1]
+    llrs = jnp.moveaxis(d_llr, 1, 0)
 
     init = jnp.full((N_STATES, N_STATES), -jnp.inf,
                     dtype=jnp.float32).at[
@@ -50,17 +57,27 @@ def _decode_one(d_llr):
         bm = signs @ llr_t                                # (64, 2)
         m0 = metric[:, pred0] + bm[pred0, in_bit]
         m1 = metric[:, pred1] + bm[pred1, in_bit]
-        take1 = m1 > m0
-        metric = jnp.where(take1, m1, m0)
-        bp = jnp.where(take1, pred1, pred0).astype(jnp.int32)  # (64s, 64c)
-        return metric, bp
+        return jnp.where(m1 > m0, m1, m0), None
 
-    metric, bps = jax.lax.scan(fwd, init, jnp.moveaxis(d_llr, 1, 0))
+    metric, _ = jax.lax.scan(fwd, init, llrs)
     start = jnp.argmax(jnp.diagonal(metric)).astype(jnp.int32)
+
+    init1 = jnp.full((N_STATES,), -jnp.inf, dtype=jnp.float32).at[
+        start].set(0.0)
+
+    def fwd1(m, llr_t):
+        bm = signs @ llr_t
+        m0 = m[pred0] + bm[pred0, in_bit]
+        m1 = m[pred1] + bm[pred1, in_bit]
+        take1 = m1 > m0
+        return (jnp.where(take1, m1, m0),
+                jnp.where(take1, pred1, pred0).astype(jnp.int32))
+
+    _, bps = jax.lax.scan(fwd1, init1, llrs)
 
     def back(state, bp_t):
         bit = state >> 5
-        return bp_t[start, state], bit
+        return bp_t[state], bit
 
     _, bits = jax.lax.scan(back, start, bps, reverse=True)
     return bits.astype(jnp.int32)

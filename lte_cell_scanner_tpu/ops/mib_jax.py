@@ -189,6 +189,30 @@ def _pbch_rows_cols(n_symb_dl: int, v_shift_m3: int):
             np.concatenate(cols).astype(np.int32))
 
 
+@functools.lru_cache(maxsize=8)
+def _pbch_sel(n_symb_dl: int):
+    """(3, n_frame, 4*72) f32 RE-compaction matrices, one per v_shift.
+
+    Row n of variant v selects the n-th kept PBCH RE of ONE frame's four
+    PBCH symbols (flattened sym*72+sc), in the reference's (sym, sc)
+    order — so the device extracts PBCH REs with a constant matmul
+    selected by a per-cell v_shift one-hot instead of a scalar-bound
+    2M-element gather. Derived from :func:`_pbch_rows_cols`."""
+    stride = 10 * 2 * n_symb_dl
+    out = []
+    for v in range(3):
+        rows, cols = _pbch_rows_cols(n_symb_dl, v)
+        n_frame = len(rows) // 4
+        m = np.zeros((n_frame, 4 * 72), np.float32)
+        for i, (r, c) in enumerate(zip(rows, cols)):
+            f = r // stride
+            assert i // n_frame == f, "PBCH REs not frame-major"
+            sym = r - f * stride - n_symb_dl
+            m[i % n_frame, sym * 72 + c] = 1.0
+        out.append(m)
+    return np.stack(out)
+
+
 _PORT_CFGS = (1, 2, 4)
 
 
@@ -212,9 +236,8 @@ def _cell_tables(n_id_cell: int, cp_type: str):
     for port in (2, 3):
         shifts[port] = [int(rs_dl.get_shift(0, 1, port)),
                         int(rs_dl.get_shift(1, 1, port))]
-    rows, cols = _pbch_rows_cols(n_symb_dl, n_id_cell % 3)
     scr_sign = (1.0 - 2.0 * lte_pn(n_id_cell, m_bit)).astype(np.float32)
-    return rs_conj, shifts, rows, cols, scr_sign
+    return rs_conj, shifts, scr_sign
 
 
 @functools.lru_cache(maxsize=1)
@@ -248,8 +271,8 @@ class MibPlan:
     rs_conj: np.ndarray       # (B, 20, 3, 12, 2) f32 — sym classes 0/1/n-3
     shifts: np.ndarray        # (B, 4, 2) i32 — per port, alternating rows
     lower_first: np.ndarray   # (B,) f32 — shift(sym0) < shift(sym n-3)
-    pbch_rows: np.ndarray     # (B, m_bit//2) i32 (guess-0 relative)
-    pbch_cols: np.ndarray     # (B, m_bit//2) i32
+    vshift_oh: np.ndarray     # (B, 3) f32 — one-hot n_id_cell % 3 (picks
+                              # the constant PBCH RE-compaction matrix)
     scr_sign: np.ndarray      # (B, m_bit) f32 — descrambling +/-1
     omk_base: np.ndarray      # (B,) f32 — (fc_prog - fc_req)/fc_prog
     inv_fcp: np.ndarray       # (B,) f32 — 1/fc_programmed
@@ -284,15 +307,13 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
         inwin=np.zeros(B, np.float32),
         late=np.zeros((B, n_ofdm), np.float32),
         base=np.zeros(B, np.int32),
-        # Sign tables cross the link as int8 and the small gather
-        # indices as int16 (values < 1300): together they are ~40% of
-        # the plan's upload bytes, which on a PCIe/tunnel link is a
-        # measurable share of decode wall-clock. The device casts.
+        # Sign tables cross the link as int8 (the device casts); the
+        # PBCH RE positions never cross at all — they are a device-side
+        # constant picked by the 3-way v_shift one-hot.
         rs_conj=np.zeros((B, 20, 3, 12, 2), np.int8),
         shifts=np.zeros((B, 4, 2), np.int32),
         lower_first=np.zeros(B, np.float32),
-        pbch_rows=np.zeros((B, m_bit // 2), np.int16),
-        pbch_cols=np.zeros((B, m_bit // 2), np.int16),
+        vshift_oh=np.zeros((B, 3), np.float32),
         scr_sign=np.ones((B, m_bit), np.int8),
         omk_base=np.zeros(B, np.float32),
         inv_fcp=np.zeros(B, np.float32),
@@ -349,13 +370,12 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
     p.inv_fcp[:n] = np.where(ok, 1.0 / fc_prog, 0.0)
 
     for b in np.nonzero(ok)[0]:
-        rs_conj, shifts, rows, colsv, scr_sign = _cell_tables(
+        rs_conj, shifts, scr_sign = _cell_tables(
             cells[b].n_id_cell(), cp_type)
         p.rs_conj[b] = np.sign(rs_conj)      # QPSK: components +/-1/sqrt2
         p.shifts[b] = shifts
         p.lower_first[b] = float(shifts[0, 0] < shifts[0, 1])
-        p.pbch_rows[b] = rows
-        p.pbch_cols[b] = colsv
+        p.vshift_oh[b, cells[b].n_id_cell() % 3] = 1.0
         p.scr_sign[b] = scr_sign
     return p
 
@@ -364,29 +384,50 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
 # Device program pieces.
 
 
-def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm):
-    """Batched 4-port channel estimation (freq_time interpolator).
+def _sel6(x, shift):
+    """Pick comb offset ``shift`` (B,) i32 from x (B, R, 12, 6, 2).
 
-    tfg: (B, n_ofdm, 72, 2). Returns (ce (B, 4, n_ofdm, 72, 2),
+    A VPU mask-sum (exactly one nonzero term) — bit-identical to the
+    take_along_axis gather it replaces, but vectorized instead of
+    scalar-bound on TPU. Returns (B, R, 12, 2)."""
+    oh = (shift[:, None] == jnp.arange(6, dtype=shift.dtype))
+    return jnp.sum(x * oh.astype(x.dtype)[:, None, None, :, None], axis=3)
+
+
+def _comb_rows(tfg, n_symb_dl, sym_off):
+    """All slots' symbol ``sym_off`` rows via reshape — replaces the
+    strided row gather tfg[:, slots * n_symb_dl + sym_off]."""
+    B, n_ofdm = tfg.shape[0], tfg.shape[1]
+    n_slot = n_ofdm // n_symb_dl
+    return tfg.reshape(B, n_slot, n_symb_dl, 72, 2)[:, :, sym_off]
+
+
+def _rs_tile(rs_conj, sym_class, n_slot):
+    """rs_conj (B, 20, 3, 12, 2) -> the slot_mod-20 sequence (B, n_slot,
+    12, 2) by tiling (slot_mod = slot % 20 is periodic, no gather)."""
+    r = rs_conj[:, :, sym_class]
+    reps = (n_slot + 19) // 20
+    return jnp.tile(r, (1, reps, 1, 1))[:, :n_slot]
+
+
+def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm, rows_sel):
+    """Batched 4-port channel estimation (freq_time interpolator),
+    evaluated ONLY at the ``rows_sel`` static OFDM rows (the 7x4 PBCH
+    symbol rows — the only rows the MIB decode consumes; the host path
+    in ops/chanest.py keeps the full-grid reference implementation).
+
+    tfg: (B, n_ofdm, 72, 2). Returns (ce (B, 4, len(rows_sel), 72, 2),
     np_v (B, 4))."""
-    rows01, rows23, slot_mod = (jnp.asarray(a) for a in
-                                _rs_rows(n_symb_dl, n_ofdm))
-    n_slot = rows23.shape[0]
+    n_slot = n_ofdm // n_symb_dl
     curr, lo, hi, n_curr, n_lo, n_hi = (jnp.asarray(a) for a in
                                         _filter_mats12())
     fmats = jnp.asarray(_freq_interp_mats())              # (6, 72, 12)
-    tmat01 = jnp.asarray(_time_interp_mat(n_symb_dl, n_ofdm, 0))
-    tmat23 = jnp.asarray(_time_interp_mat(n_symb_dl, n_ofdm, 1))
-
-    def comb_extract(rows, shift, sym_class):
-        """rows (R,), shift (B,), sym_class scalar -> raw CE (B, R, 12, 2)."""
-        got = tfg[:, rows]                                # (B, R, 72, 2)
-        cols = shift[:, None, None] + 6 * jnp.arange(12, dtype=jnp.int32)[
-            None, None, :]                                # (B, 1, 12)
-        cols = jnp.broadcast_to(cols, (tfg.shape[0], rows.shape[0], 12))
-        vals = jnp.take_along_axis(got, cols[..., None], axis=2)
-        rsc = rs_conj[:, :, sym_class][:, slot_mod[:rows.shape[0]]]
-        return _cmul(vals, rsc)
+    # Time-interpolation restricted to the consumed rows, split by RS
+    # row parity so each half pairs with one per-cell comb shift.
+    t01 = _time_interp_mat(n_symb_dl, n_ofdm, 0)[np.asarray(rows_sel)]
+    t23 = _time_interp_mat(n_symb_dl, n_ofdm, 1)[np.asarray(rows_sel)]
+    t01_e, t01_o = jnp.asarray(t01[:, 0::2]), jnp.asarray(t01[:, 1::2])
+    t23_e, t23_o = jnp.asarray(t23[:, 0::2]), jnp.asarray(t23[:, 1::2])
 
     def filter_rows(ce_raw, parity_lower):
         """ce_raw (B, R, 12, 2); parity_lower (B, R) 1.0 where the row's
@@ -407,54 +448,59 @@ def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm):
             parity_lower[..., None] > 0, n_lo[None, None], n_hi[None, None])
         return tot / cnt[..., None]
 
+    def freq_mat(shift):
+        """Per-cell 72x12 interpolation matrix for comb shift (B,) —
+        a VPU one-hot pick from the 6 constant matrices."""
+        oh = (shift[:, None] == jnp.arange(6, dtype=shift.dtype))
+        return jnp.sum(fmats[None] * oh.astype(tfg.dtype)[..., None, None],
+                       axis=1)                             # (B, 72, 12)
+
     B = tfg.shape[0]
     ce_out = []
     np_out = []
     for port in range(4):
         if port <= 1:
-            raw_a = comb_extract(rows01[0], shifts[:, port, 0], 0)
-            raw_b = comb_extract(rows01[1], shifts[:, port, 1], 2)
+            # RS rows interleave sym 0 (shift idx 0) and sym n-3 (idx 1).
+            raw_a = _cmul(_sel6(_comb_rows(tfg, n_symb_dl, 0).reshape(
+                B, n_slot, 12, 6, 2), shifts[:, port, 0]),
+                _rs_tile(rs_conj, 0, n_slot))
+            raw_b = _cmul(_sel6(_comb_rows(
+                tfg, n_symb_dl, n_symb_dl - 3).reshape(B, n_slot, 12, 6, 2),
+                shifts[:, port, 1]), _rs_tile(rs_conj, 2, n_slot))
             ce_raw = jnp.stack([raw_a, raw_b], axis=2).reshape(
                 B, 2 * n_slot, 12, 2)                      # interleaved
             # Row parity: row t uses lo-taps when its shift is below the
             # adjacent rows' (chanest.py: current_row_leftmost alternates
             # starting from shift[0] < shift[1]).
             par = jnp.arange(2 * n_slot) % 2
-            low0 = (shifts[:, port, 0] < shifts[:, port, 1])
-            parity_lower = jnp.where(par[None, :] == 0, low0[:, None],
-                                     ~low0[:, None]).astype(tfg.dtype)
-            rs_set_interleaved = True
         else:
-            # shift alternates with slot parity
-            sh = jnp.where((jnp.arange(n_slot) % 2)[None, :] == 0,
-                           shifts[:, port, 0][:, None],
-                           shifts[:, port, 1][:, None])    # (B, n_slot)
-            got = tfg[:, rows23]
-            cols = sh[..., None] + 6 * jnp.arange(12, dtype=jnp.int32)
-            vals = jnp.take_along_axis(got, cols[..., None], axis=2)
-            rsc = rs_conj[:, :, 1][:, slot_mod]
-            ce_raw = _cmul(vals, rsc)
+            # sym-1 rows; shift alternates with slot parity.
+            sym1 = _comb_rows(tfg, n_symb_dl, 1).reshape(
+                B, n_slot, 12, 6, 2)
+            v_e = _sel6(sym1, shifts[:, port, 0])
+            v_o = _sel6(sym1, shifts[:, port, 1])
             par = jnp.arange(n_slot) % 2
-            low0 = (shifts[:, port, 0] < shifts[:, port, 1])
-            parity_lower = jnp.where(par[None, :] == 0, low0[:, None],
-                                     ~low0[:, None]).astype(tfg.dtype)
-            rs_set_interleaved = False
+            vals = jnp.where((par == 0)[None, :, None, None], v_e, v_o)
+            ce_raw = _cmul(vals, _rs_tile(rs_conj, 1, n_slot))
 
+        low0 = (shifts[:, port, 0] < shifts[:, port, 1])
+        parity_lower = jnp.where(par[None, :] == 0, low0[:, None],
+                                 ~low0[:, None]).astype(tfg.dtype)
         ce_filt = filter_rows(ce_raw, parity_lower)
         np_est = jnp.mean(_cabs2(ce_filt - ce_raw), axis=(1, 2))
 
-        # Frequency interpolation: per-row comb shift -> 72 subcarriers.
-        if port <= 1:
-            sh_rows = jnp.where(par[None, :] == 0,
-                                shifts[:, port, 0][:, None],
-                                shifts[:, port, 1][:, None])
-        else:
-            sh_rows = sh
-        m_rows = fmats[sh_rows]                            # (B, R, 72, 12)
-        ce_frq = jnp.einsum("brki,brip->brkp", m_rows, ce_filt)
-
-        tmat = tmat01 if rs_set_interleaved else tmat23
-        ce_tfg = jnp.einsum("tr,brkp->btkp", tmat, ce_frq)
+        # Frequency then time interpolation, per parity group: the even
+        # rows all share one per-cell comb shift and the odd rows the
+        # other, so each group is ONE batched (72x12)@(12xR) matmul and
+        # one constant (rows_sel x R/2) matmul — no (B, R, 72, 12)
+        # per-row matrix materialization.
+        m_e = freq_mat(shifts[:, port, 0])
+        m_o = freq_mat(shifts[:, port, 1])
+        f_e = jnp.einsum("bki,brip->brkp", m_e, ce_filt[:, 0::2])
+        f_o = jnp.einsum("bki,brip->brkp", m_o, ce_filt[:, 1::2])
+        te, to = (t01_e, t01_o) if port <= 1 else (t23_e, t23_o)
+        ce_tfg = jnp.einsum("tr,brkp->btkp", te, f_e) + \
+            jnp.einsum("tr,brkp->btkp", to, f_o)
         ce_out.append(ce_tfg)
         np_out.append(np_est)
     return jnp.stack(ce_out, axis=1), jnp.stack(np_out, axis=1)
@@ -509,8 +555,14 @@ def _sfbc_dev(pbch_sym, pbch_ce, np_v):
     return syms, np_out
 
 
-def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
-    """Compile-cached device program for one CP geometry."""
+def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
+                      stage: str = None):
+    """Compile-cached device program for one CP geometry.
+
+    ``stage`` (instrumentation only — tools/bench_decode.py): cut the
+    program after the named milestone and return a reduced f32 scalar,
+    so chained-scan timing can attribute device time per stage. None
+    (production) runs the full program."""
 
     cn = jnp.asarray(CN.astype(np.float32))
     wr, wi = (jnp.asarray(m) for m in _dft72())
@@ -519,29 +571,38 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
     crc_masks = jnp.asarray(_crc_masks())
     n_slot = n_ofdm // n_symb_dl
     guess_stride = 10 * 2 * n_symb_dl
+    # The 7 frames x 4 symbols the 4 frame-timing guesses' PBCH spans
+    # (guess g reads frames g..g+3) — the only grid rows the decode
+    # consumes past the TFOEC stage.
+    pbch_syms = tuple(f * guess_stride + n_symb_dl for f in range(7))
+    rows_sel = tuple(r + s for r in pbch_syms for s in range(4))
+    sel = jnp.asarray(_pbch_sel(n_symb_dl))          # (3, n_frame, 288)
+    n_frame = sel.shape[1]
 
     def rot_pair(ang):
         return jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)
 
+    def _cut(*vals):
+        return sum(jnp.sum(v).astype(jnp.float32) for v in vals)
+
     @jax.jit
     def run(cap, starts, phase0, inwin, late, base, rs_conj, shifts,
-            lower_first, pbch_rows, pbch_cols, scr_sign, omk_base,
-            inv_fcp):
+            lower_first, vshift_oh, scr_sign, omk_base, inv_fcp):
         # Rebuild the fractional symbol timestamps on device: the i32
         # subtraction is exact and starts-base < 2^24, so
         # (starts - base) - late carries MORE precision than an
         # uploaded f32 ts (whose ulp at 1.5e5 is ~0.016).
         ts = (starts - base[:, None]).astype(jnp.float32) - late
         # Unpack the link-compressed tables (see MibPlan): int8 signs
-        # scale back to +/-1/sqrt2 QPSK, int16 indices widen to i32.
+        # scale back to +/-1/sqrt2 QPSK.
         rs_conj = rs_conj.astype(jnp.float32) * np.float32(np.sqrt(0.5))
         scr_sign = scr_sign.astype(jnp.float32)
-        pbch_rows = pbch_rows.astype(jnp.int32)
-        pbch_cols = pbch_cols.astype(jnp.int32)
         # ---- extract_tfg (aligned-blend windowing: see
         # sync_jax._aligned_wins — the b-sample cyclic rotation folds
         # into the fractional-timing phase ramp as late - b).
         g, jidx, bofs = _aligned_wins(cap, starts)       # (B, S, 128, 2)
+        if stage == "wins":
+            return _cut(g)
         ang = phase0[..., None] + inwin[:, None, None] * jidx
         x = _cmul(g, rot_pair(ang))
         yr = x[..., 0] @ wr - x[..., 1] @ wi
@@ -550,21 +611,18 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         tfg = _cmul(tfg, rot_pair(
             -2.0 * jnp.pi * (late - bofs.astype(cap.dtype))[..., None]
             * cn / 128.0))
-
-        rows01, rows23, slot_mod = (jnp.asarray(a) for a in
-                                    _rs_rows(n_symb_dl, n_ofdm))
+        if stage == "tfg":
+            return _cut(tfg)
 
         def rs_comp_rows(grid, sym_class, class_idx, shift):
             """grid rows of one RS sym class, comb-extracted and
-            RS-compensated. shift (B,) -> (B, n_slot, 12, 2)."""
-            rows = rows01[class_idx]
-            got = grid[:, rows]
-            cols = shift[:, None, None] + 6 * jnp.arange(
-                12, dtype=jnp.int32)[None, None, :]
-            cols = jnp.broadcast_to(cols,
-                                    (grid.shape[0], rows.shape[0], 12))
-            vals = jnp.take_along_axis(got, cols[..., None], axis=2)
-            return _cmul(vals, rs_conj[:, :, sym_class][:, slot_mod])
+            RS-compensated (reshape + VPU one-hot — no gathers).
+            shift (B,) -> (B, n_slot, 12, 2)."""
+            off = 0 if class_idx == 0 else n_symb_dl - 3
+            rows = _comb_rows(grid, n_symb_dl, off).reshape(
+                grid.shape[0], n_slot, 12, 6, 2)
+            return _cmul(_sel6(rows, shift),
+                         _rs_tile(rs_conj, sym_class, n_slot))
 
         # ---- tfoec: superfine FOE on the raw grid.
         foe = 0.0
@@ -585,6 +643,8 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         tfg_c = _cmul(tfg, rot[:, :, None, :])
         tfg_c = _cmul(tfg_c, rot_pair(
             -2.0 * jnp.pi * late2[..., None] * cn / 128.0))
+        if stage == "tfoec":
+            return _cut(tfg_c)
 
         # ---- TOE on the compensated grid.
         rc0 = rs_comp_rows(tfg_c, 0, 0, shifts[:, 0, 0])
@@ -608,19 +668,39 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         toc_rot = rot_pair(2.0 * jnp.pi / 128.0 * delay[:, None]
                            * cn[None, :])                # (B, 72, 2)
         tfg_c = _cmul(tfg_c, toc_rot[:, None])
+        if stage == "toe":
+            return _cut(tfg_c)
 
-        # ---- channel estimation, 4 ports.
-        ce, np_v = _chan_est_dev(tfg_c, rs_conj, shifts, n_symb_dl, n_ofdm)
+        # ---- channel estimation, 4 ports, at the 28 PBCH rows only.
+        ce, np_v = _chan_est_dev(tfg_c, rs_conj, shifts, n_symb_dl,
+                                 n_ofdm, rows_sel)
+        if stage == "chanest":
+            return _cut(ce, np_v)
 
-        # ---- PBCH extraction for the 4 frame-timing guesses.
-        offs = jnp.arange(4, dtype=jnp.int32) * guess_stride
-        rows_g = pbch_rows[:, None, :] + offs[None, :, None]  # (B, 4, n)
-        bb = jnp.arange(tfg.shape[0])[:, None, None]
-        colb = pbch_cols[:, None, :]
-        pbch_sym = tfg_c[bb, rows_g, colb]               # (B, 4, n, 2)
-        pbch_ce = ce[bb[..., None], jnp.arange(4)[None, None, :, None],
-                     rows_g[:, :, None, :], colb[:, :, None, :]]
-        pbch_ce = jnp.moveaxis(pbch_ce, 2, 1)            # (B, 4p, 4g, n, 2)
+        # ---- PBCH extraction for the 4 frame-timing guesses: static
+        # row slices + the per-cell v_shift RE-compaction matmul (see
+        # _pbch_sel) — no data-dependent gathers.
+        B = tfg.shape[0]
+        # HIGHEST precision: these matmuls SELECT f32 values (0/1
+        # weights), so a bf16 MXU pass would quantize the data itself;
+        # they are tiny (<2 GFLOP) so the multi-pass cost is nil.
+        hi = jax.lax.Precision.HIGHEST
+        msel = jnp.einsum("bv,vnc->bnc", vshift_oh, sel)  # (B, nf, 288)
+        frames = jnp.stack([tfg_c[:, r:r + 4] for r in pbch_syms],
+                           axis=1)                       # (B, 7, 4, 72, 2)
+        comp = jnp.einsum("bnc,bfcp->bfnp", msel,
+                          frames.reshape(B, 7, 288, 2),
+                          precision=hi)                  # (B, 7, nf, 2)
+        pbch_sym = jnp.stack(
+            [comp[:, gi:gi + 4].reshape(B, 4 * n_frame, 2)
+             for gi in range(4)], axis=1)                # (B, 4, n, 2)
+        ce_f = ce.reshape(B, 4, 7, 288, 2)               # 28 rows = 7x4
+        comp_ce = jnp.einsum("bnc,bqfcp->bqfnp", msel, ce_f, precision=hi)
+        pbch_ce = jnp.stack(
+            [comp_ce[:, :, gi:gi + 4].reshape(B, 4, 4 * n_frame, 2)
+             for gi in range(4)], axis=2)                # (B, 4p, 4g, n, 2)
+        if stage == "pbch":
+            return _cut(pbch_sym, pbch_ce)
 
         # ---- SFBC + QPSK LLR + descramble + deratematch.
         syms, np_sym = _sfbc_dev(pbch_sym, pbch_ce, np_v)
@@ -632,6 +712,8 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
         llr = llr * scr_sign[:, None, None, :]
         d_llr = jnp.einsum("ce,bgpe->bgpc", wd, llr).reshape(
             llr.shape[0], 4, 3, 3, 40)
+        if stage == "llr":
+            return _cut(d_llr)
 
         # ---- tail-biting Viterbi (batched) + CRC16 with port masks.
         flat = d_llr.reshape(-1, 3, 40)
@@ -659,9 +741,10 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
     return run
 
 
-@functools.lru_cache(maxsize=4)
-def _mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int):
-    return _build_mib_device(n_symb_dl, n_ofdm, m_bit)
+@functools.lru_cache(maxsize=16)
+def _mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
+                stage: str = None):
+    return _build_mib_device(n_symb_dl, n_ofdm, m_bit, stage)
 
 
 # ----------------------------------------------------------------------
@@ -722,8 +805,7 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
     run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit)
     out = run(cap_dev, plan.starts, plan.phase0, plan.inwin, plan.late,
               plan.base, plan.rs_conj, plan.shifts, plan.lower_first,
-              plan.pbch_rows, plan.pbch_cols, plan.scr_sign,
-              plan.omk_base, plan.inv_fcp)
+              plan.vshift_oh, plan.scr_sign, plan.omk_base, plan.inv_fcp)
     pending = MibPending(out, plan, list(cells))
     if defer:
         try:
