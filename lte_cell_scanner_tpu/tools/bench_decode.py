@@ -79,7 +79,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from lte_cell_scanner_tpu.constants import THRESH2_N_SIGMA
-    from lte_cell_scanner_tpu.ops.mib_jax import _mib_device, mib_plan
+    from lte_cell_scanner_tpu.ops.mib_jax import (_dev_cell_tables,
+                                                  _mib_device, mib_plan)
     from lte_cell_scanner_tpu.ops.sync_jax import _sync_device, sync_plan
 
     cap, fc = _get_capture()
@@ -141,10 +142,12 @@ def main(argv=None):
         run = _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit,
                           None if st == "full" else st)
 
-        def body(c, run=run):
-            out = run(c, mp.starts, mp.phase0, mp.inwin, mp.late, mp.base,
-                      mp.rs_conj, mp.shifts, mp.lower_first, mp.vshift_oh,
-                      mp.scr_sign, mp.omk_base, mp.inv_fcp)
+        tabs = _dev_cell_tables(cells64[0].cp_type)
+
+        def body(c, run=run, tabs=tabs):
+            out = run(c, mp.start0, mp.sdelta, mp.phase0_q, mp.inwin,
+                      mp.late_q, mp.base, mp.n_id, *tabs,
+                      mp.omk_base, mp.inv_fcp)
             return jnp.sum(out).astype(jnp.float32)
 
         ms = slope(body)

@@ -94,6 +94,47 @@ def test_mib_deferred_fetch_identical(real_peaks):
         [], cap, fc, fc, 1.92e6, defer=True)) == []
 
 
+def test_mib_plan_link_compression(real_peaks):
+    """The link-compressed MibPlan round-trips: the u8 deltas rebuild
+    the host's f64-rounded integer starts EXACTLY, the i16 fixed-point
+    lateness/phase stay within half an LSB of the host f64 values, and
+    the device-resident 504-cell tables match the per-cell host tables
+    row for row."""
+    from lte_cell_scanner_tpu.ops.mib_jax import (_all_cell_tables,
+                                                  _cell_tables, mib_plan)
+    from lte_cell_scanner_tpu.ops.tfg import symbol_timestamps
+
+    cap, fc, peaks = real_peaks
+    synced = sss_foe_batch(peaks, cap, fc, fc, 1.92e6, THRESH2_N_SIGMA)
+    alive = [c for c in synced if c.n_id_1 >= 0]
+    assert alive
+    plan = mib_plan(alive, len(cap), fc, fc, 1.92e6)
+    for b, c in enumerate(alive):
+        assert plan.ok[b]
+        k_factor = (c.fc_requested - c.freq_fine) / c.fc_programmed
+        ts = symbol_timestamps(c, c.fs_programmed, k_factor)
+        starts_host = np.round(ts).astype(np.int64)
+        rebuilt = plan.start0[b] + np.cumsum(
+            plan.sdelta[b].astype(np.int64))
+        assert (rebuilt == starts_host).all()
+        late = starts_host - ts
+        assert np.abs(plan.late_q[b] / 32768.0 - late).max() \
+            <= 0.5001 / 32768
+        fs_eff = c.fs_programmed * k_factor
+        phase = np.mod(-2.0 * np.pi * c.freq_fine * starts_host / fs_eff,
+                       2.0 * np.pi)
+        dq = plan.phase0_q[b] * (2.0 * np.pi / 65536.0)
+        err = np.abs(np.mod(dq - phase + np.pi, 2.0 * np.pi) - np.pi)
+        assert err.max() <= (np.pi / 65536) * 1.001
+        nid = c.n_id_cell()
+        assert plan.n_id[b] == nid
+        rs_tab, sh_tab, scr_tab = _all_cell_tables(c.cp_type)
+        rs_one, sh_one, scr_one = _cell_tables(nid, c.cp_type)
+        assert (rs_tab[nid] == np.sign(rs_one)).all()
+        assert (sh_tab[nid] == sh_one).all()
+        assert (scr_tab[nid] == scr_one).all()
+
+
 def test_e2e_device_backend(capbuf_0000):
     """cell_search(backend='jax') runs the whole per-peak chain on the
     device path and finds cells 277 + 271 with correct MIBs."""
