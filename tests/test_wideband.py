@@ -128,6 +128,34 @@ def test_channelize_bank_matches_map():
     assert np.abs(bank - base).max() < 2e-4 * scale
 
 
+def test_channelize_full_band_raster():
+    """Full-band one-pass channelization: a 30.72 Msps recording's
+    ENTIRE 100 kHz raster (~290 carriers) goes through one conv
+    dispatch, with per-carrier parity against the float64 host
+    channelizer at sampled carriers (first/center/last and both
+    usable-bandwidth edges)."""
+    from lte_cell_scanner_tpu.io.frontend import decimate_capture
+    from lte_cell_scanner_tpu.search.wideband import channelize_batch
+
+    fs_in, fc_center = 30.72e6, 739e6
+    fcs = wideband_carriers(fs_in, fc_center, fc_center - 15.36e6,
+                            fc_center + 15.36e6)
+    assert len(fcs) >= 190            # the full-band deployment claim
+    rng = np.random.default_rng(11)
+    n_wide = 40960
+    wide = (rng.standard_normal(n_wide)
+            + 1j * rng.standard_normal(n_wide))
+    n_out = 1024
+    dev = np.asarray(channelize_batch(wide, fs_in, fc_center, fcs,
+                                      n_out=n_out))
+    assert dev.shape == (len(fcs), 2, n_out)
+    for i in (0, len(fcs) // 2, len(fcs) - 1, 1, len(fcs) - 2):
+        host = decimate_capture(wide, fs_in,
+                                freq_shift=fcs[i] - fc_center)[:n_out]
+        got = dev[i, 0] + 1j * dev[i, 1]
+        assert np.abs(got - host).max() < 2e-4 * np.abs(host).max()
+
+
 def test_wideband_sweep_device_backend():
     """backend='jax': channels stay device-resident end to end."""
     wide, fs_in = _wide_two_cells()
