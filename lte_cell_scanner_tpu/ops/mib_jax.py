@@ -219,9 +219,10 @@ _PORT_CFGS = (1, 2, 4)
 
 @functools.lru_cache(maxsize=1024)
 def _cell_tables(n_id_cell: int, cp_type: str):
-    """Per-cell constant tables (RS sequences, comb shifts, PBCH gather
-    indices, scrambler) — cached so repeated decodes of the same cell
-    (every tracker cycle; every bench rep) skip the PN regeneration."""
+    """Per-cell constant tables (RS sequences, comb shifts, scrambler)
+    — cached so repeated decodes of the same cell (every tracker cycle;
+    every bench rep) skip the PN regeneration. PBCH RE positions live
+    in :func:`_pbch_sel` (a 3-way v_shift constant, not per-cell)."""
     n_symb_dl = 7 if cp_type == "normal" else 6
     m_bit = 1920 if cp_type == "normal" else 1728
     rs_dl = RSDL(n_id_cell, 6, cp_type)
@@ -290,8 +291,9 @@ def _all_cell_tables(cp_type: str):
 @functools.lru_cache(maxsize=2)
 def _dev_cell_tables(cp_type: str):
     """The stacked cell tables as committed device arrays (uploaded once
-    per process, int8/i32 — ~180 KB; every decode dispatch reuses the
-    same buffers)."""
+    per process, int8/i32 — ~1.7 MB per CP type: rs 726 KB + scr 968 KB
+    + shifts 16 KB; every decode dispatch reuses the same buffers, so
+    the per-batch link cost is zero)."""
     rs, sh, sc = _all_cell_tables(cp_type)
     return jax.device_put(rs), jax.device_put(sh), jax.device_put(sc)
 

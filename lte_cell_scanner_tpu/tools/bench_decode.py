@@ -136,11 +136,18 @@ def main(argv=None):
 
     results["sync_ms"] = round(slope(sync_body), 3)
 
-    # MIB program, cumulative per stage cut.
+    # MIB program, cumulative per stage cut. Deltas attribute per-stage
+    # time, so they only make sense for stages in pipeline order (the
+    # default); an out-of-order --stages list still reports honest
+    # cumulative *_ms values.
     prev = 0.0
+    last_ms = None
     for st in args.stages.split(","):
-        run = _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit,
-                          None if st == "full" else st)
+        # 'full' uses the same positional lru_cache key as
+        # decode_mib_batch — one compiled program, not two.
+        run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit)
+               if st == "full" else
+               _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st))
 
         tabs = _dev_cell_tables(cells64[0].cp_type)
 
@@ -154,10 +161,11 @@ def main(argv=None):
         results[f"mib_{st}_ms"] = round(ms, 3)
         results[f"mib_{st}_delta_ms"] = round(ms - prev, 3)
         prev = ms
+        last_ms = results[f"mib_{st}_ms"]
 
     results.update({
         "metric": "device_decode_latency_ms",
-        "value": results.get("mib_full_ms"),
+        "value": results.get("mib_full_ms", last_ms),
         "unit": "ms",
     })
     print(json.dumps(results))
