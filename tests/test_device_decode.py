@@ -135,6 +135,33 @@ def test_mib_plan_link_compression(real_peaks):
         assert (scr_tab[nid] == scr_one).all()
 
 
+def test_mib_plan_link_compression_extended_cp():
+    """Extended-CP geometry (160-sample symbol stride) also round-trips
+    the u8 delta encoding, across a spread of crystal errors and frame
+    phases (synthetic cells — the encoder only needs the timing
+    fields)."""
+    from lte_cell_scanner_tpu.models.cell import Cell
+    from lte_cell_scanner_tpu.ops.mib_jax import mib_plan
+    from lte_cell_scanner_tpu.ops.tfg import symbol_timestamps
+
+    cells = [Cell(fc_requested=739e6, fc_programmed=739e6,
+                  fs_programmed=1.92e6, n_id_2=i % 3, n_id_1=40 * i,
+                  cp_type="extended", frame_start=100.25 + 7.3 * i,
+                  freq_fine=(-1) ** i * 7.5e3 * (i + 1))
+             for i in range(4)]
+    plan = mib_plan(cells, 200000, 739e6, 739e6, 1.92e6)
+    for b, c in enumerate(cells):
+        assert plan.ok[b]
+        k_factor = (c.fc_requested - c.freq_fine) / c.fc_programmed
+        ts = symbol_timestamps(c, c.fs_programmed, k_factor)
+        starts_host = np.round(ts).astype(np.int64)
+        rebuilt = plan.start0[b] + np.cumsum(
+            plan.sdelta[b].astype(np.int64))
+        assert (rebuilt == starts_host).all()
+        assert np.abs(plan.late_q[b] / 32768.0
+                      - (starts_host - ts)).max() <= 0.5001 / 32768
+
+
 def test_e2e_device_backend(capbuf_0000):
     """cell_search(backend='jax') runs the whole per-peak chain on the
     device path and finds cells 277 + 271 with correct MIBs."""
