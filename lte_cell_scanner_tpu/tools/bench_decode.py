@@ -25,6 +25,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -125,7 +126,14 @@ def main(argv=None):
 
     results = {"b_candidates": len(cells64), "b_captures": b_cap}
 
-    # Sync program (whole).
+    def note(k):
+        # Incremental progress on stderr: on a flaky tunnel a mid-run
+        # wedge must not cost the numbers already measured.
+        print(f"# {k}={results[k]}", file=sys.stderr, flush=True)
+
+    # Headline numbers FIRST (sync + full MIB program), then the
+    # per-stage cuts — a short tunnel-recovery window still yields the
+    # numbers that matter.
     def sync_body(c):
         out = _sync_device(c, sp.pss_idx, sp.rep_mask, sp.foc, sp.inv_fs,
                            sp.n_id_2, sp.foe_pss, sp.foe_sss, sp.foe_mask,
@@ -134,34 +142,49 @@ def main(argv=None):
         vals = list(out.values()) if isinstance(out, dict) else [out]
         return sum(jnp.sum(v).astype(jnp.float32) for v in vals)
 
-    results["sync_ms"] = round(slope(sync_body), 3)
+    tabs = _dev_cell_tables(cells64[0].cp_type)
 
-    # MIB program, cumulative per stage cut. Deltas attribute per-stage
-    # time, so they only make sense for stages in pipeline order (the
-    # default); an out-of-order --stages list still reports honest
-    # cumulative *_ms values.
-    prev = 0.0
-    last_ms = None
-    for st in args.stages.split(","):
-        # 'full' uses the same positional lru_cache key as
-        # decode_mib_batch — one compiled program, not two.
-        run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit)
-               if st == "full" else
-               _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st))
-
-        tabs = _dev_cell_tables(cells64[0].cp_type)
-
-        def body(c, run=run, tabs=tabs):
+    def mib_body_for(run):
+        def body(c, run=run):
             out = run(c, mp.start0, mp.sdelta, mp.phase0_q, mp.inwin,
                       mp.late_q, mp.base, mp.n_id, *tabs,
                       mp.omk_base, mp.inv_fcp)
             return jnp.sum(out).astype(jnp.float32)
+        return body
 
-        ms = slope(body)
-        results[f"mib_{st}_ms"] = round(ms, 3)
+    stages = args.stages.split(",")
+    measured = {}
+    for st in (["sync"] + (["full"] if "full" in stages else [])
+               + [s for s in stages if s != "full"]):
+        if st in measured:
+            continue
+        if st == "sync":
+            ms = slope(sync_body)
+            results["sync_ms"] = round(ms, 3)
+            note("sync_ms")
+        else:
+            # 'full' uses the same positional lru_cache key as
+            # decode_mib_batch — one compiled program, not two.
+            run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit)
+                   if st == "full" else
+                   _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st))
+            ms = slope(mib_body_for(run))
+            results[f"mib_{st}_ms"] = round(ms, 3)
+            note(f"mib_{st}_ms")
+        measured[st] = ms
+
+    # Deltas attribute per-stage time; meaningful for the pipeline
+    # order of STAGES (an out-of-order --stages list still reports
+    # honest cumulative *_ms values).
+    prev = 0.0
+    last_ms = None
+    for st in stages:
+        ms = results.get(f"mib_{st}_ms")
+        if ms is None:
+            continue
         results[f"mib_{st}_delta_ms"] = round(ms - prev, 3)
         prev = ms
-        last_ms = results[f"mib_{st}_ms"]
+        last_ms = ms
 
     results.update({
         "metric": "device_decode_latency_ms",
