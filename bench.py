@@ -169,6 +169,7 @@ def main():
     # 19-50 MB/s by the hour and dominates every wall-clock number
     # below; recording it makes cross-run comparisons interpretable.
     def h2d_mbps():
+        """-> (H2D MB/s, dispatch round-trip ms) for this run's link."""
         probe = np.zeros(8 << 20, np.uint8)
         consume = jax.jit(lambda u: jnp.sum(u.astype(jnp.float32)))
         tiny = np.zeros(64, np.uint8)
@@ -183,7 +184,7 @@ def main():
         probe[0] ^= 1                                    # defeat caching
         np.asarray(consume(jax.device_put(probe)))
         dt = time.time() - t0 - t_rtt
-        return len(probe) / max(dt, 1e-6) / 1e6
+        return len(probe) / max(dt, 1e-6) / 1e6, t_rtt * 1e3
 
     # Warm-up (compiles everything).
     tables, decoded = full_pipeline()
@@ -318,10 +319,18 @@ def main():
     except Exception:  # pragma: no cover - keep the headline alive
         multihost = None
 
-    try:
-        link_mbps = round(h2d_mbps(), 1) if not interpret else None
-    except Exception:  # pragma: no cover - telemetry must not kill bench
-        link_mbps = None
+    link_mbps = rtt_ms = upload_floor_ms = None
+    if not interpret:
+        try:
+            rate, rtt = h2d_mbps()
+            link_mbps, rtt_ms = round(rate, 1), round(rtt, 1)
+            # The per-fc H2D byte floor at TODAY'S measured link rate:
+            # the pipelined number can't beat this on this machine, so
+            # recording it makes every run self-interpreting (the link
+            # drifts 19-50 MB/s by the hour).
+            upload_floor_ms = round(u8.nbytes / B / (rate * 1e6) * 1e3, 2)
+        except Exception:  # pragma: no cover - telemetry must not kill bench
+            pass
 
     full_ms = np.array(full_times) / B * 1e3
     scan_ms = np.array(scan_times) / B * 1e3
@@ -347,6 +356,8 @@ def main():
         "decoded_cells_per_fc": len(decoded) / B,
         "multihost": multihost,
         "h2d_mbps": link_mbps,
+        "link_rtt_ms": rtt_ms,
+        "upload_floor_ms": upload_floor_ms,
         "batch": B,
     }))
 

@@ -152,39 +152,39 @@ def main(argv=None):
             return jnp.sum(out).astype(jnp.float32)
         return body
 
-    stages = args.stages.split(",")
-    measured = {}
-    for st in (["sync"] + (["full"] if "full" in stages else [])
-               + [s for s in stages if s != "full"]):
-        if st in measured:
-            continue
-        if st == "sync":
-            ms = slope(sync_body)
-            results["sync_ms"] = round(ms, 3)
-            note("sync_ms")
-        else:
-            # 'full' uses the same positional lru_cache key as
-            # decode_mib_batch — one compiled program, not two.
-            run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit)
-                   if st == "full" else
-                   _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st))
-            ms = slope(mib_body_for(run))
-            results[f"mib_{st}_ms"] = round(ms, 3)
-            note(f"mib_{st}_ms")
-        measured[st] = ms
+    stages = [s for s in args.stages.split(",") if s in STAGES]
+    raw = {}                     # unrounded slopes, keyed by MIB stage
 
-    # Deltas attribute per-stage time; meaningful for the pipeline
-    # order of STAGES (an out-of-order --stages list still reports
-    # honest cumulative *_ms values).
+    # The sync program is always measured (it is not a MIB stage cut).
+    results["sync_ms"] = round(slope(sync_body), 3)
+    note("sync_ms")
+    for st in ((["full"] if "full" in stages else [])
+               + [s for s in stages if s != "full"]):
+        if st in raw:
+            continue
+        # 'full' uses the same positional lru_cache key as
+        # decode_mib_batch — one compiled program, not two.
+        run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit)
+               if st == "full" else
+               _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st))
+        raw[st] = slope(mib_body_for(run))
+        results[f"mib_{st}_ms"] = round(raw[st], 3)
+        note(f"mib_{st}_ms")
+
+    # Deltas attribute per-stage time from the RAW slopes (rounding
+    # each cumulative value first would let the deltas drift off by a
+    # ulp of the rounding); meaningful for the pipeline order of
+    # STAGES (an out-of-order --stages list still reports honest
+    # cumulative *_ms values).
     prev = 0.0
     last_ms = None
     for st in stages:
-        ms = results.get(f"mib_{st}_ms")
+        ms = raw.get(st)
         if ms is None:
             continue
         results[f"mib_{st}_delta_ms"] = round(ms - prev, 3)
         prev = ms
-        last_ms = ms
+        last_ms = round(ms, 3)
 
     results.update({
         "metric": "device_decode_latency_ms",
