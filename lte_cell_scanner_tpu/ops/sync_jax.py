@@ -445,10 +445,19 @@ def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
 # Host wrapper.
 
 
+@dataclasses.dataclass
+class SyncPending:
+    """An in-flight deferred sync dispatch (see sss_foe_batch defer)."""
+
+    out: object        # device array, D2H copy already started
+    plan: SyncPlan
+    cells: List[Cell]
+
+
 def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
                   fc_programmed: float, fs_programmed: float,
                   thresh2_n_sigma: float, cap_dev=None, n_cap: int = None,
-                  cap_bases: Sequence[int] = None) -> List[Cell]:
+                  cap_bases: Sequence[int] = None, defer: bool = False):
     """Run SSS detection + fine FOE for every candidate peak on device.
 
     ``cap_dev`` may pass an already-device-resident (n_cap, 2) float32
@@ -458,9 +467,15 @@ def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
     in one dispatch. Returns new Cell records: detected peaks carry
     n_id_1/cp_type/frame_start/freq_fine, rejected ones n_id_1 == -1
     (same contract as ops.sync.sss_detect + pss_sss_foe).
+
+    ``defer=True`` returns a :class:`SyncPending` with the D2H copy
+    started asynchronously — a pipelined sweep finishes it with
+    :func:`finish_sync_batch` a batch later, so the fetch round trip
+    (which gates the MIB planning) overlaps the next batch's upload and
+    scan instead of blocking this one.
     """
     if not cells:
-        return []
+        return SyncPending(None, None, []) if defer else []
     if cap_dev is None:
         capbuf = np.asarray(capbuf)
         cap_dev = jnp.asarray(
@@ -475,13 +490,28 @@ def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
                        plan.foe_sss, plan.foe_mask, plan.foe_seq,
                        plan.foe_phase, plan.foe_conv,
                        np.float32(thresh2_n_sigma))
-    packed = np.asarray(out, dtype=np.float64)   # single D2H fetch
+    pending = SyncPending(out, plan, list(cells))
+    if defer:
+        try:
+            out.copy_to_host_async()
+        except Exception:   # backend without async copies: fetch later
+            pass
+        return pending
+    return finish_sync_batch(pending)
+
+
+def finish_sync_batch(pending: SyncPending) -> List[Cell]:
+    """Fetch + unpack a (possibly deferred) sync dispatch."""
+    if not pending.cells:
+        return []
+    plan = pending.plan
+    packed = np.asarray(pending.out, dtype=np.float64)  # single D2H fetch
     out = {k: packed[i] for i, k in enumerate(
         ("n_id_1", "cp_sel", "ord_sel", "detected", "dfreq",
          "lik_final", "lik_mean", "lik_std"))}
 
     res: List[Cell] = []
-    for b, cell in enumerate(cells):
+    for b, cell in enumerate(pending.cells):
         c = dataclasses.replace(cell)
         if out["detected"][b]:
             c.n_id_1 = int(out["n_id_1"][b])

@@ -92,8 +92,8 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                      ds_comb_arm: int = DS_COMB_ARM,
                      max_peaks: int = MAX_PEAKS,
                      use_pallas: bool = None,
-                     fc_prog_list: Sequence[float] = None
-                     ) -> List[List[Cell]]:
+                     fc_prog_list: Sequence[float] = None,
+                     return_tables: bool = False):
     """Scan B captures (one per center frequency) data-parallel over the
     ``cap`` mesh axis. Returns the candidate peak list per capture.
 
@@ -116,6 +116,12 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     ``capbufs`` may also be a DEVICE-resident jax array of f32
     (B, 2, n_cap) planes (the wideband channelizer's output) — the scan
     then never moves the narrowband data through the host.
+
+    ``return_tables=True`` returns the DEVICE peak-table array (D2H
+    copy already started) instead of peak lists — a pipelined sweep
+    (search/pipeline.py) collects it a batch later via
+    :func:`tables_to_peaks` so the fetch round trip overlaps the next
+    batch's upload and scan.
     """
     is_dev = isinstance(capbufs, jax.Array)
     if not is_dev:
@@ -228,7 +234,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                           check_vma=False))
             _cache_put(_JIT_CACHE, jit_key, sweep_jit)
         cap_dev = jax.device_put(jnp.asarray(cap2), shard)
-        tables = np.asarray(sweep_jit(cap_dev, dev_banks))
+        tables_dev = sweep_jit(cap_dev, dev_banks)
     else:
         cc = _to_complex(np.asarray(capbufs))
         cap_ri = np.stack([cc.real, cc.imag], -1).astype(np.float32)
@@ -256,8 +262,35 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
             _cache_put(_JIT_CACHE, jit_key, sweep_jit)
         args = [jax.device_put(jnp.asarray(x), shard)
                 for x in (cap_ri, tre, tim, starts)]
-        tables = np.asarray(sweep_jit(*args))
+        tables_dev = sweep_jit(*args)
 
+    if return_tables:
+        # Pipelined callers collect the DEVICE table array themselves
+        # (after overlapping its D2H copy with other work) and convert
+        # via tables_to_peaks; start the copy now so the fetch round
+        # trip rides behind whatever the caller does next.
+        try:
+            tables_dev.copy_to_host_async()
+        except Exception:   # backend without async copies: fetch later
+            pass
+        return tables_dev
+    return tables_to_peaks(np.asarray(tables_dev), capbufs, fc_list,
+                           f_search_set, fs_programmed, ds_comb_arm,
+                           max_peaks, fc_prog_list=fcp)
+
+
+def tables_to_peaks(tables: np.ndarray, capbufs, fc_list: Sequence[float],
+                    f_search_set: np.ndarray, fs_programmed: float = 1.92e6,
+                    ds_comb_arm: int = DS_COMB_ARM,
+                    max_peaks: int = MAX_PEAKS,
+                    fc_prog_list: Sequence[float] = None
+                    ) -> List[List[Cell]]:
+    """Host tail of the DP scan: per-capture peak tables -> Cell
+    candidates, with the unbounded host rescan fallback when a device
+    table filled up (mirrors search/cell_search.py's fallback for the
+    fused single-capture path; reference peak loop
+    src/CellSearch.cpp:471-569)."""
+    fcp = list(fc_list) if fc_prog_list is None else list(fc_prog_list)
     out: List[List[Cell]] = []
     for b, fc in enumerate(fc_list):
         cells = peaks_to_cells(tables[b], f_search_set, fc, fcp[b],
@@ -265,8 +298,7 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         if len(cells) >= max_peaks:
             # Device peak table full: the fixed-trip loop may have
             # truncated a denser capture — redo this capture with the
-            # unbounded host scan (mirrors search/cell_search.py's
-            # fallback for the fused single-capture path).
+            # unbounded host scan.
             from lte_cell_scanner_tpu.ops.peak import peak_search
             from lte_cell_scanner_tpu.ops.xcorr import xcorr_pss
             from lte_cell_scanner_tpu.search.cell_search import \

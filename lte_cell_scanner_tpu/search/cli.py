@@ -72,6 +72,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "data-parallel across devices and decode every "
                         "candidate in two batched dispatches (jax "
                         "backend; highest throughput, deferred output)")
+    p.add_argument("--sweep-batch", type=int, default=0, metavar="N",
+                   help="with --batch-sweep: process the sweep as a "
+                        "software pipeline over chunks of N captures "
+                        "(search/pipeline.py) instead of one whole-"
+                        "sweep dispatch — uploads, scans and the "
+                        "decode chain of adjacent chunks overlap, and "
+                        "only N captures are device-resident at a "
+                        "time (long sweeps; 0 = single dispatch)")
     p.add_argument("--wideband", metavar="FILE", default=None,
                    help="search a single wideband .it recording (fs an "
                         "integer multiple of 1.92 Msps, fc field = band "
@@ -270,12 +278,25 @@ def _batched_sweep(args, source, fc_search_set, f_search_set,
     import jax
 
     B = len(caps)
-    n_shards = max(d for d in range(1, len(jax.devices()) + 1)
-                   if B % d == 0)
     t0 = time.time()
-    per_cap, deduped = sharded_search_sweep(
-        np.stack(caps), fcs, np.asarray(f_search_set),
-        make_cap_mesh(n_shards), fc_prog_list=fc_progs)
+    if args.sweep_batch and B > args.sweep_batch:
+        from lte_cell_scanner_tpu.search.pipeline import \
+            pipelined_search_sweep
+
+        n_shards = max(d for d in range(1, len(jax.devices()) + 1)
+                       if args.sweep_batch % d == 0)
+        per_cap, deduped = pipelined_search_sweep(
+            np.stack(caps), fcs, np.asarray(f_search_set),
+            make_cap_mesh(n_shards), batch=args.sweep_batch,
+            fc_prog_list=fc_progs)
+        mode = f"pipelined x{args.sweep_batch}"
+    else:
+        n_shards = max(d for d in range(1, len(jax.devices()) + 1)
+                       if B % d == 0)
+        per_cap, deduped = sharded_search_sweep(
+            np.stack(caps), fcs, np.asarray(f_search_set),
+            make_cap_mesh(n_shards), fc_prog_list=fc_progs)
+        mode = "single dispatch"
     if verbosity >= 1:
         for b, fc in enumerate(fcs):
             for c in per_cap[b]:
@@ -283,7 +304,7 @@ def _batched_sweep(args, source, fc_search_set, f_search_set,
                       f"{c.n_rb_dl} RB, {c.cp_type} CP, foff "
                       f"{c.freq_superfine:+.1f} Hz")
         print(f"  sweep: {B} fc in {time.time() - t0:.2f}s "
-              f"({n_shards} device shard(s))")
+              f"({mode}, {n_shards} device shard(s))")
     return print_results(deduped, args.correction)
 
 
