@@ -38,8 +38,8 @@ import time
 import numpy as np
 
 BASELINE_MS_PER_FC = 6000.0
-B = 32          # captures per batch (the fc sweep's amortization unit)
-REPS = 10
+B = int(os.environ.get("LTE_BENCH_B", "32"))    # captures per batch
+REPS = int(os.environ.get("LTE_BENCH_REPS", "10"))  # batches per timing
 
 
 def _get_capture():
@@ -119,21 +119,26 @@ def main():
         return jnp.moveaxis(f, 1, 2).reshape(B * n_cap, 2)
 
     from lte_cell_scanner_tpu.ops.mib_jax import finish_mib_batch
+    from lte_cell_scanner_tpu.ops.sync_jax import finish_sync_batch
 
-    def decode_batch_dispatch(tables, cap_flat):
-        """Host tail for one scanned batch: peak unpack, the batched
-        sync dispatch+fetch (its results gate the MIB planning), then
-        the MIB dispatches with their D2H copies started async —
-        returned as pendings so a pipelined caller can collect them a
-        batch later (overlapping the fetch round trip)."""
+    def sync_dispatch_batch(tables, cap_flat):
+        """Peak unpack + the batched sync dispatch, fetch DEFERRED
+        (D2H copy started): the sync results gate the MIB planning, so
+        a deep pipeline collects them a batch later."""
         cells, bases_c = [], []
         for b in range(B):
             for c in peaks_to_cells(tables[b], fset, fc, fc):
                 cells.append(c)
                 bases_c.append(b * n_cap)
-        synced = sss_foe_batch(cells, None, 0.0, 0.0, 1.92e6,
-                               THRESH2_N_SIGMA, cap_dev=cap_flat,
-                               n_cap=n_cap, cap_bases=bases_c)
+        sp = sss_foe_batch(cells, None, 0.0, 0.0, 1.92e6,
+                           THRESH2_N_SIGMA, cap_dev=cap_flat,
+                           n_cap=n_cap, cap_bases=bases_c, defer=True)
+        return sp, bases_c, cap_flat
+
+    def mib_dispatch_batch(sp, bases_c, cap_flat):
+        """Collect the sync fetch, plan + dispatch the MIB decode; its
+        own fetch stays deferred (collect via finish_batch)."""
+        synced = finish_sync_batch(sp)
         alive = [(c, base) for c, base in zip(synced, bases_c)
                  if c.n_id_1 >= 0]
         pendings = []
@@ -145,6 +150,11 @@ def main():
                     cap_dev=cap_flat, n_cap=n_cap,
                     cap_bases=[g for _, g in grp], defer=True))
         return pendings
+
+    def decode_batch_dispatch(tables, cap_flat):
+        """Host tail for one scanned batch: sync dispatch + immediate
+        collect, then the MIB dispatches (fetch deferred)."""
+        return mib_dispatch_batch(*sync_dispatch_batch(tables, cap_flat))
 
     def finish_batch(pendings):
         out = []
@@ -203,51 +213,79 @@ def main():
         full_pipeline()
         full_times.append(time.time() - t0)
 
-    # Pipelined sweep: the production fc sweep as a 2-deep software
-    # pipeline. An uploader thread keeps the host->device byte stream
-    # (the dominant cost on any PCIe/tunnel link) running TWO batches
-    # ahead; the main thread's per-batch critical path is
-    #   fetch scan tables(i) -> sync dispatch+fetch(i) + MIB dispatch(i)
-    #   -> collect batch i-1's deferred MIB results
+    # Pipelined sweep: the production fc sweep as a software pipeline.
+    # An uploader thread keeps the host->device byte stream (the
+    # dominant cost on any PCIe/tunnel link) running TWO batches ahead;
+    # the main thread's per-batch critical path is
+    #   fetch scan tables(i) -> sync dispatch(i) [+fetch]
+    #   -> MIB dispatch    -> collect older deferred MIB results
     #   -> dispatch scan(i+1),
     # so batch i's decode chain overlaps batch i+1's upload, and batch
-    # i's MIB fetch overlaps batch i+1's scan. Steady-state throughput,
-    # not latency; the pipeline-fill upload of batch 0 is outside the
-    # timed region.
+    # i's MIB fetch overlaps batch i+1's scan. With defer_sync the sync
+    # fetch too is collected a batch later (3-deep; one fewer blocking
+    # round trip per batch, one batch more latency). Steady-state
+    # throughput, not latency; the pipeline-fill upload of batch 0 is
+    # outside the timed region.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(jax.device_put, u8)
-        dev = fut.result()
-        scan_out = scan_jit(dev)            # async dispatch
-        flat = to_flat(dev)                 # async dispatch
-        fut = ex.submit(jax.device_put, u8)
-        t0 = time.time()
-        prev_pend = None
-        for i in range(REPS):
-            tables = np.asarray(scan_out, dtype=np.float64)  # scan(i)
-            # Decode chain for batch i first — its sync/MIB dispatches
-            # and fetches must not queue behind batch i+1's multi-MB
-            # upload on a serialized link; the uploader thread streams
-            # batch i+1 concurrently where the link allows. Batch i's
-            # MIB fetch is deferred: its D2H copy lands while batch
-            # i+1 is scanned, and is collected next iteration.
-            pend = decode_batch_dispatch(tables, flat)
-            if prev_pend is not None:
-                finish_batch(prev_pend)
-            prev_pend = pend
-            if i + 1 < REPS:
-                dev = fut.result()          # upload normally done by now
-                scan_out = scan_jit(dev)    # device starts scan(i+1)
-                flat = to_flat(dev)
-                if i + 2 < REPS:
-                    fut = ex.submit(jax.device_put, u8)
-        pipelined_decoded = finish_batch(prev_pend)
-        pipelined_ms = (time.time() - t0) / REPS / B * 1e3
+    def _async_copy(a):
+        try:
+            a.copy_to_host_async()
+        except Exception:   # backend without async copies
+            pass
+
+    def run_pipelined(defer_sync):
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(jax.device_put, u8)
+            dev = fut.result()
+            scan_out = scan_jit(dev)        # async dispatch
+            _async_copy(scan_out)
+            flat = to_flat(dev)             # async dispatch
+            fut = ex.submit(jax.device_put, u8)
+            t0 = time.time()
+            sync_prev = None    # (sp, bases, flat) awaiting MIB dispatch
+            mib_prev = None     # MIB pendings awaiting collection
+            last = None
+            for i in range(REPS):
+                tables = np.asarray(scan_out, dtype=np.float64)
+                if defer_sync:
+                    sp_i = sync_dispatch_batch(tables, flat)
+                    if mib_prev is not None:
+                        last = finish_batch(mib_prev)
+                        mib_prev = None
+                    if sync_prev is not None:
+                        mib_prev = mib_dispatch_batch(*sync_prev)
+                    sync_prev = sp_i
+                else:
+                    pend = decode_batch_dispatch(tables, flat)
+                    if mib_prev is not None:
+                        last = finish_batch(mib_prev)
+                    mib_prev = pend
+                if i + 1 < REPS:
+                    dev = fut.result()      # upload normally done by now
+                    scan_out = scan_jit(dev)  # device starts scan(i+1)
+                    _async_copy(scan_out)
+                    flat = to_flat(dev)
+                    if i + 2 < REPS:
+                        fut = ex.submit(jax.device_put, u8)
+            if sync_prev is not None:       # drain the deferred tail
+                tail = mib_dispatch_batch(*sync_prev)
+                if mib_prev is not None:
+                    finish_batch(mib_prev)
+                last = finish_batch(tail)
+            elif mib_prev is not None:
+                last = finish_batch(mib_prev)
+            ms = (time.time() - t0) / REPS / B * 1e3
+        return ms, last
+
+    pipelined_ms, pipelined_decoded = run_pipelined(False)
+    pipelined_deep_ms, deep_decoded = run_pipelined(True)
     if real:
-        # The pipelined path must produce the same bit-correct MIBs.
-        assert len(pipelined_decoded) == 2 * B
-        assert all(c.n_rb_dl == 50 for c in pipelined_decoded)
+        # Both pipelined schedules must produce the same bit-correct
+        # MIBs (the final batch's results are checked).
+        for dec in (pipelined_decoded, deep_decoded):
+            assert len(dec) == 2 * B
+            assert all(c.n_rb_dl == 50 for c in dec)
 
     # Device-only scan latency (chained lax.scan, slope between two
     # chain lengths — immune to the host link, which dominates every
@@ -342,6 +380,7 @@ def main():
         "vs_baseline": round(BASELINE_MS_PER_FC / value, 1),
         "min_ms": round(float(full_ms.min()), 2),
         "pipelined_ms": round(pipelined_ms, 2),
+        "pipelined_deep_ms": round(pipelined_deep_ms, 2),
         "scan_only_ms": round(float(np.median(scan_ms)), 2),
         "device_scan_ms": (round(device_scan_ms, 3)
                            if device_scan_ms == device_scan_ms else None),
