@@ -64,6 +64,40 @@ def _to_complex(capbufs: np.ndarray, b: int = None):
     return c if b is None else c[0]
 
 
+def _bank_signature(fc: float, fc_prog: float, f_search_set: np.ndarray,
+                    fs_programmed: float, n_comb_xc: int,
+                    share_banks: bool = False):
+    """The inputs a carrier's TEA bank is built from: the f32-cast
+    frequency-shifted templates and the integer fold misalignments.
+
+    Two carriers whose signatures are byte-identical can share one
+    bank, so a sweep need only build and upload the DISTINCT banks.
+    By default the signature is exact (templates + offsets): it
+    collapses repeated carriers (and same-fc batches) but NOT a raster
+    sweep — the template phase carries an O(f_off^2 t / (fs fc)) term,
+    so each 100 kHz raster step moves the f32 templates by a few ulps.
+
+    ``share_banks`` drops the template bytes from the signature: any
+    carriers whose integer fold offsets match (contiguous multi-MHz
+    spans of the raster — the offsets move ~2e-4 samples per 100 kHz
+    and only split at a rounding boundary) share the group's first
+    bank. The shared bank's correlation differs by ~1e-6 relative —
+    orders below the detection noise floor — and every downstream
+    quantity is re-derived in float64 from the detected (ind, freq),
+    so decode results are unaffected; it is still opt-in because scan
+    scores are then not bit-equal to the per-fc host reference.
+    """
+    tpl = shifted_templates(f_search_set, fc, fc_prog,
+                            fs_programmed).reshape(-1, PSS_TD_LEN)
+    st = fold_start_indices(f_search_set, n_comb_xc, fc, fc_prog,
+                            fs_programmed)
+    d = (st - np.arange(n_comb_xc)[None, :] * HALF_FRAME).astype(np.int64)
+    if share_banks:
+        return tpl, d, d.tobytes()
+    tpl32 = np.stack([tpl.real, tpl.imag], -1).astype(np.float32)
+    return tpl, d, tpl32.tobytes() + d.tobytes()
+
+
 @functools.lru_cache(maxsize=32)   # ~4 MB/bank at production shapes
 def _fc_bank(fc: float, fc_prog: float, fset_key: bytes,
              fs_programmed: float, n_cap: int, n_comb_xc: int, s0: int,
@@ -73,11 +107,8 @@ def _fc_bank(fc: float, fc_prog: float, fset_key: bytes,
     from lte_cell_scanner_tpu.ops.xcorr_pallas import _tea_bank
 
     f_search_set = np.frombuffer(fset_key, dtype=np.float64)
-    tpl = shifted_templates(f_search_set, fc, fc_prog,
-                            fs_programmed).reshape(-1, PSS_TD_LEN)
-    st = fold_start_indices(f_search_set, n_comb_xc, fc, fc_prog,
-                            fs_programmed)
-    d = (st - np.arange(n_comb_xc)[None, :] * HALF_FRAME).astype(np.int64)
+    tpl, d, _ = _bank_signature(fc, fc_prog, f_search_set,
+                                fs_programmed, n_comb_xc)
     return _tea_bank(tpl, d, s0, win_rows, "f32")
 
 
@@ -93,7 +124,8 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                      max_peaks: int = MAX_PEAKS,
                      use_pallas: bool = None,
                      fc_prog_list: Sequence[float] = None,
-                     return_tables: bool = False):
+                     return_tables: bool = False,
+                     share_banks: bool = False):
     """Scan B captures (one per center frequency) data-parallel over the
     ``cap`` mesh axis. Returns the candidate peak list per capture.
 
@@ -169,23 +201,45 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         bases, d_all, s0, s_col, win_rows, n_tile, pad = plan_tiles_tea(
             n_cap, starts.reshape(B * n_f, n_comb_xc), tile=DEFAULT_TILE)
         d_all = d_all.reshape(B, n_f, n_comb_xc)
-        # Sweeps revisit the same carriers batch after batch — cache the
-        # (fc, grid) -> bank construction (~4 MB/fc at production shapes) AND
-        # the device-resident sharded upload (~16 MB/sweep otherwise
-        # re-crossing the link every call).
+        # The bank is the sweep's largest upload (~4 MB/carrier vs
+        # 307 KB/capture), so carriers that would get BYTE-IDENTICAL
+        # banks share one: dedupe by the exact construction signature
+        # (f32 templates + integer fold offsets — see _bank_signature;
+        # nearby carriers collide almost always), upload only the
+        # distinct banks REPLICATED across the mesh, and give each
+        # capture a bank index (sharded with it). A one-pass 32-fc
+        # chunk then ships 1-3 banks, not 32. The device-resident
+        # result is also cached across sweep calls (sweeps revisit
+        # carriers batch after batch).
         fset_key = f_search_set.tobytes()
         mesh_key = (tuple(str(d) for d in mesh.devices.flat),
                     tuple(mesh.shape.items()))
         dev_key = (tuple(fc_list), tuple(fcp), fset_key, fs_programmed,
-                   n_cap, n_comb_xc, mesh_key)
-        dev_banks = _DEV_BANK_CACHE.get(dev_key)
-        if dev_banks is None:
-            banks = np.stack([
-                _fc_bank(fc_list[b], fcp[b], fset_key, fs_programmed,
-                         n_cap, n_comb_xc, s0, win_rows)
-                for b in range(B)])
-            dev_banks = jax.device_put(jnp.asarray(banks), shard)
-            _cache_put(_DEV_BANK_CACHE, dev_key, dev_banks)
+                   n_cap, n_comb_xc, mesh_key, share_banks)
+        dev_entry = _DEV_BANK_CACHE.get(dev_key)
+        if dev_entry is None:
+            sig_to_u, uniq = {}, []
+            bank_idx = np.zeros(B, np.int32)
+            for b in range(B):
+                _, _, sig = _bank_signature(fc_list[b], fcp[b],
+                                            f_search_set, fs_programmed,
+                                            n_comb_xc, share_banks)
+                u = sig_to_u.get(sig)
+                if u is None:
+                    u = sig_to_u[sig] = len(uniq)
+                    uniq.append(_fc_bank(fc_list[b], fcp[b], fset_key,
+                                         fs_programmed, n_cap,
+                                         n_comb_xc, s0, win_rows))
+                bank_idx[b] = u
+            n_u = 1                      # power-of-2 bucket: bounded
+            while n_u < len(uniq):       # recompiles, padded rows are
+                n_u *= 2                 # repeats of bank 0
+            uniq += [uniq[0]] * (n_u - len(uniq))
+            rep = NamedSharding(mesh, P())
+            dev_entry = (jax.device_put(jnp.asarray(np.stack(uniq)), rep),
+                         jax.device_put(jnp.asarray(bank_idx), shard))
+            _cache_put(_DEV_BANK_CACHE, dev_key, dev_entry)
+        dev_banks, dev_bank_idx = dev_entry
         # The capture crosses the link UNPADDED — each shard applies
         # the TEA front/back padding on device (sample axis only, so
         # per-shard padding is exact and no pad bytes ride the link).
@@ -210,14 +264,15 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
         if sweep_jit is None:
             bases_j = jnp.asarray(bases)
 
-            def local_scan(cap_loc, bank_loc):
+            def local_scan(cap_loc, banks_all, idx_loc):
                 fill = (np.uint8(127) if cap_loc.dtype == jnp.uint8
                         else cap_loc.dtype.type(0))  # zero-level sample
                 cap_p = jnp.pad(cap_loc, ((0, 0), (0, 0), (front, back)),
                                 constant_values=fill)
 
                 def one(args):
-                    c, bk = args
+                    c, ix = args
+                    bk = banks_all[ix]   # XLA row gather, outside Pallas
                     packed, single, _ = xcorr_core_pallas(
                         c, bk, bases_j, None, n_comb_xc, n_comb_sp,
                         ds_comb_arm, tile=DEFAULT_TILE, halo=s_col,
@@ -226,15 +281,16 @@ def sharded_fc_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                                               ds_comb_arm,
                                               max_peaks=max_peaks)
 
-                return jax.lax.map(one, (cap_p, bank_loc))
+                return jax.lax.map(one, (cap_p, idx_loc))
 
             sweep_jit = jax.jit(shard_map(local_scan, mesh=mesh,
-                                          in_specs=(P("cap"), P("cap")),
+                                          in_specs=(P("cap"), P(),
+                                                    P("cap")),
                                           out_specs=P("cap"),
                                           check_vma=False))
             _cache_put(_JIT_CACHE, jit_key, sweep_jit)
         cap_dev = jax.device_put(jnp.asarray(cap2), shard)
-        tables_dev = sweep_jit(cap_dev, dev_banks)
+        tables_dev = sweep_jit(cap_dev, dev_banks, dev_bank_idx)
     else:
         cc = _to_complex(np.asarray(capbufs))
         cap_ri = np.stack([cc.real, cc.imag], -1).astype(np.float32)
@@ -324,7 +380,8 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
                          fs_programmed: float = 1.92e6,
                          thresh2_n_sigma: float = None,
                          dedup_cells: bool = True,
-                         fc_prog_list: Sequence[float] = None):
+                         fc_prog_list: Sequence[float] = None,
+                         share_banks: bool = False):
     """Full cell search of a whole fc sweep: DP-sharded scan + batched
     device decode of EVERY candidate in the sweep.
 
@@ -350,7 +407,8 @@ def sharded_search_sweep(capbufs: np.ndarray, fc_list: Sequence[float],
     else:
         B, n_cap = capbufs.shape
     peaks = sharded_fc_sweep(capbufs, fc_list, f_search_set, mesh,
-                             fs_programmed, fc_prog_list=fc_prog_list)
+                             fs_programmed, fc_prog_list=fc_prog_list,
+                             share_banks=share_banks)
 
     # One flattened capture stack; every candidate carries its base.
     if is_dev:

@@ -72,6 +72,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "data-parallel across devices and decode every "
                         "candidate in two batched dispatches (jax "
                         "backend; highest throughput, deferred output)")
+    p.add_argument("--share-banks", action="store_true",
+                   help="with --batch-sweep: carriers whose integer "
+                        "fold schedules match share one correlation "
+                        "template bank (the sweep's largest upload, "
+                        "~4 MB/carrier -> one per few MHz of raster). "
+                        "Detection-equivalent (~1e-6 relative scan "
+                        "perturbation, far below the noise floor; the "
+                        "decode chain re-derives everything in "
+                        "float64) but scan scores are then not "
+                        "bit-equal to the per-fc host reference")
     p.add_argument("--sweep-batch", type=int, default=0, metavar="N",
                    help="with --batch-sweep: process the sweep as a "
                         "software pipeline over chunks of N captures "
@@ -288,14 +298,15 @@ def _batched_sweep(args, source, fc_search_set, f_search_set,
         per_cap, deduped = pipelined_search_sweep(
             np.stack(caps), fcs, np.asarray(f_search_set),
             make_cap_mesh(n_shards), batch=args.sweep_batch,
-            fc_prog_list=fc_progs)
+            fc_prog_list=fc_progs, share_banks=args.share_banks)
         mode = f"pipelined x{args.sweep_batch}"
     else:
         n_shards = max(d for d in range(1, len(jax.devices()) + 1)
                        if B % d == 0)
         per_cap, deduped = sharded_search_sweep(
             np.stack(caps), fcs, np.asarray(f_search_set),
-            make_cap_mesh(n_shards), fc_prog_list=fc_progs)
+            make_cap_mesh(n_shards), fc_prog_list=fc_progs,
+            share_banks=args.share_banks)
         mode = "single dispatch"
     if verbosity >= 1:
         for b, fc in enumerate(fcs):

@@ -70,7 +70,8 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
                            thresh2_n_sigma: float = None,
                            dedup_cells: bool = True,
                            fc_prog_list: Sequence[float] = None,
-                           defer_sync: bool = True):
+                           defer_sync: bool = True,
+                           share_banks: bool = False):
     """Full cell search of a whole fc sweep, pipelined in ``batch``-sized
     chunks. Same contract and results as
     parallel/fc_sweep.sharded_search_sweep; built for long sweeps where
@@ -137,7 +138,8 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
     def stage_scan(c: _Chunk, dev):
         c.tables_dev = sharded_fc_sweep(
             dev, c.fcs, f_search_set, mesh, fs_programmed,
-            fc_prog_list=c.fcp, return_tables=True)
+            fc_prog_list=c.fcp, return_tables=True,
+            share_banks=share_banks)
         c.flat = to_flat(dev)
 
     def stage_sync(c: _Chunk):

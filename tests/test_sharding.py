@@ -259,3 +259,34 @@ def test_sharded_sweep_fc_programmed_and_duplicate_carriers(capbuf_0000):
                         sorted(host, key=lambda c: c.n_id_cell())):
             assert g.n_rb_dl == h.n_rb_dl
             assert abs(g.freq_superfine - h.freq_superfine) < 0.5
+
+
+def test_sharded_fc_sweep_share_banks(capbuf_0000):
+    """Opt-in bank sharing: raster carriers whose integer fold
+    schedules match reuse one template bank (the sweep's dominant
+    upload). Detection results must match the exact per-fc banks."""
+    from lte_cell_scanner_tpu.parallel.fc_sweep import (
+        _bank_signature, make_cap_mesh, sharded_fc_sweep)
+
+    cap0, fc0 = capbuf_0000
+    caps = np.stack([cap0[:48000]] * 4)
+    fcs = [fc0 + i * 100e3 for i in range(4)]
+    fset = np.arange(-2, 3) * 5e3
+
+    # The raster collapses to ONE shared bank (fold offsets match)
+    # while exact signatures stay distinct (f32 template ulps).
+    shared_sigs = {_bank_signature(fc, fc, fset, 1.92e6, 4, True)[2]
+                   for fc in fcs}
+    exact_sigs = {_bank_signature(fc, fc, fset, 1.92e6, 4, False)[2]
+                  for fc in fcs}
+    assert len(shared_sigs) == 1 and len(exact_sigs) == 4
+
+    mesh = make_cap_mesh(2)
+    ref = sharded_fc_sweep(caps, fcs, fset, mesh, use_pallas=True)
+    got = sharded_fc_sweep(caps, fcs, fset, mesh, use_pallas=True,
+                           share_banks=True)
+    for b in range(4):
+        assert len(got[b]) == len(ref[b]) > 0
+        for g, r in zip(got[b], ref[b]):
+            assert (g.n_id_2, g.ind, g.freq) == (r.n_id_2, r.ind, r.freq)
+            assert abs(g.pss_pow - r.pss_pow) < 1e-4 * r.pss_pow
