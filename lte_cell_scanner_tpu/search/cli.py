@@ -73,7 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "candidate in two batched dispatches (jax "
                         "backend; highest throughput, deferred output)")
     p.add_argument("--share-banks", action="store_true",
-                   help="with --batch-sweep: carriers whose integer "
+                   help="with --batch-sweep or --wideband: carriers "
+                        "whose integer "
                         "fold schedules match share one correlation "
                         "template bank (the sweep's largest upload, "
                         "~4 MB/carrier -> one per few MHz of raster). "
@@ -252,7 +253,7 @@ def _wideband_sweep(args, f_search_set, verbosity: int) -> int:
     wb_backend = "jax" if jax.default_backend() != "cpu" else "numpy"
     per_cap, deduped = wideband_search_sweep(
         wide, args.fs_in, fc_center, fcs, np.asarray(f_search_set),
-        backend=wb_backend)
+        backend=wb_backend, share_banks=args.share_banks)
     if verbosity >= 1:
         for b, fc in enumerate(fcs):
             for c in per_cap[b]:
