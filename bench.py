@@ -42,6 +42,19 @@ B = int(os.environ.get("LTE_BENCH_B", "32"))    # captures per batch
 REPS = int(os.environ.get("LTE_BENCH_REPS", "10"))  # batches per timing
 
 
+def _checkpoint(res):
+    """Persist the result-so-far for the parent watchdog (atomically):
+    if the TPU tunnel wedges during a later stage, the headline numbers
+    already measured are still reported instead of being lost."""
+    path = os.environ.get("LTE_BENCH_PARTIAL")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(res, f)
+    os.replace(tmp, path)
+
+
 def _get_capture():
     path = "/root/reference/test/capbuf_0000.it"
     if os.path.exists(path):
@@ -287,6 +300,28 @@ def main():
             assert len(dec) == 2 * B
             assert all(c.n_rb_dl == 50 for c in dec)
 
+    # Core numbers are in hand: from here on every stage is an extra.
+    # Checkpoint the result dict after each stage so a tunnel wedge
+    # mid-extras (the failure mode on this box) can't destroy the
+    # headline — the parent watchdog prints the last checkpoint.
+    full_ms = np.array(full_times) / B * 1e3
+    scan_ms = np.array(scan_times) / B * 1e3
+    value = float(np.median(full_ms))
+    res = {
+        "metric": "cellsearch_wallclock_per_fc_ms",
+        "value": round(value, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS_PER_FC / value, 1),
+        "min_ms": round(float(full_ms.min()), 2),
+        "pipelined_ms": round(pipelined_ms, 2),
+        "pipelined_deep_ms": round(pipelined_deep_ms, 2),
+        "scan_only_ms": round(float(np.median(scan_ms)), 2),
+        "samples_per_sec_per_chip": int(n_cap / (np.median(scan_ms) / 1e3)),
+        "decoded_cells_per_fc": len(decoded) / B,
+        "batch": B,
+    }
+    _checkpoint(res)
+
     # Device-only scan latency (chained lax.scan, slope between two
     # chain lengths — immune to the host link, which dominates every
     # wall-clock number above on a tunneled/PCIe chip).
@@ -314,6 +349,12 @@ def main():
             np.asarray(f(cap2_1))
             dev_times[n] = time.time() - t0
         device_scan_ms = (dev_times[32] - dev_times[8]) / 24 * 1e3
+    res["device_scan_ms"] = (round(device_scan_ms, 3)
+                             if device_scan_ms == device_scan_ms else None)
+    res["device_samples_per_sec"] = (int(n_cap / (device_scan_ms / 1e3))
+                                     if device_scan_ms == device_scan_ms
+                                     else None)
+    _checkpoint(res)
 
     # Wideband channelizer throughput (beyond-reference front end):
     # one-pass filter-bank turning a 30.72 Msps capture into 32 raster
@@ -337,6 +378,11 @@ def main():
                 wb_ms_per_carrier = None
         except Exception:  # pragma: no cover - keep the headline alive
             wb_ms_per_carrier = None
+    res["wideband_ms_per_carrier"] = (round(wb_ms_per_carrier, 4)
+                                      if wb_ms_per_carrier else None)
+    res["wideband_carriers_per_sec"] = (int(1e3 / wb_ms_per_carrier)
+                                        if wb_ms_per_carrier else None)
+    _checkpoint(res)
 
     # Multi-host sweep scaling (BASELINE.md: >=0.9 linear 1 -> 2 hosts):
     # real 2-process jax.distributed runs on the CPU backend (see
@@ -356,6 +402,30 @@ def main():
                      "comm_s": mh["t_comm_s"]}
     except Exception:  # pragma: no cover - keep the headline alive
         multihost = None
+    res["multihost"] = multihost
+    _checkpoint(res)
+
+    # Tracker capacity (reference baseline: 4 cells realtime on an i7,
+    # doc/LTE-Tracker.html:56-57): the batched engine driven end-to-end
+    # (wall number, link-bound here) plus the chained-dispatch
+    # device-bound capacity (the honest chip number). Small shapes keep
+    # this stage a couple of minutes; LTE_BENCH_TRACKER=0 skips it.
+    tracker = None
+    if not interpret and os.environ.get("LTE_BENCH_TRACKER", "1") != "0":
+        try:
+            from lte_cell_scanner_tpu.tools.bench_tracker import (
+                measure as measure_tracker)
+
+            tr = measure_tracker(cells=64, seconds=0.8, verbose=False)
+            tracker = {"cells_realtime_wall": tr["value"],
+                       "cells_realtime_device":
+                           tr.get("cells_realtime_device"),
+                       "device_ms_per_cycle":
+                           tr.get("device_ms_per_cycle")}
+        except Exception:  # pragma: no cover - keep the headline alive
+            tracker = None
+    res["tracker"] = tracker
+    _checkpoint(res)
 
     link_mbps = rtt_ms = upload_floor_ms = None
     if not interpret:
@@ -370,35 +440,10 @@ def main():
         except Exception:  # pragma: no cover - telemetry must not kill bench
             pass
 
-    full_ms = np.array(full_times) / B * 1e3
-    scan_ms = np.array(scan_times) / B * 1e3
-    value = float(np.median(full_ms))
-    print(json.dumps({
-        "metric": "cellsearch_wallclock_per_fc_ms",
-        "value": round(value, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS_PER_FC / value, 1),
-        "min_ms": round(float(full_ms.min()), 2),
-        "pipelined_ms": round(pipelined_ms, 2),
-        "pipelined_deep_ms": round(pipelined_deep_ms, 2),
-        "scan_only_ms": round(float(np.median(scan_ms)), 2),
-        "device_scan_ms": (round(device_scan_ms, 3)
-                           if device_scan_ms == device_scan_ms else None),
-        "device_samples_per_sec": (int(n_cap / (device_scan_ms / 1e3))
-                                   if device_scan_ms == device_scan_ms
-                                   else None),
-        "samples_per_sec_per_chip": int(n_cap / (np.median(scan_ms) / 1e3)),
-        "wideband_ms_per_carrier": (round(wb_ms_per_carrier, 4)
-                                    if wb_ms_per_carrier else None),
-        "wideband_carriers_per_sec": (int(1e3 / wb_ms_per_carrier)
-                                      if wb_ms_per_carrier else None),
-        "decoded_cells_per_fc": len(decoded) / B,
-        "multihost": multihost,
-        "h2d_mbps": link_mbps,
-        "link_rtt_ms": rtt_ms,
-        "upload_floor_ms": upload_floor_ms,
-        "batch": B,
-    }))
+    res["h2d_mbps"] = link_mbps
+    res["link_rtt_ms"] = rtt_ms
+    res["upload_floor_ms"] = upload_floor_ms
+    print(json.dumps(res))
 
 
 def _run_with_retry():
@@ -428,8 +473,12 @@ if __name__ == "__main__":
         # yields a diagnostic JSON line instead of a silent hang.
         import subprocess
         import sys
+        import tempfile
 
-        env = dict(os.environ, LTE_BENCH_CHILD="1")
+        partial = os.path.join(tempfile.gettempdir(),
+                               f"lte_bench_partial_{os.getpid()}.json")
+        env = dict(os.environ, LTE_BENCH_CHILD="1",
+                   LTE_BENCH_PARTIAL=partial)
         deadline = float(os.environ.get("LTE_BENCH_TIMEOUT", "2400"))
         try:
             rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
@@ -437,6 +486,19 @@ if __name__ == "__main__":
             if rc != 0:
                 raise RuntimeError(f"bench child exited {rc}")
         except (subprocess.TimeoutExpired, RuntimeError) as e:
+            # If the child checkpointed its core numbers before dying
+            # (tunnel wedged during an extras stage), report THOSE: the
+            # headline measurement is valid, only extras are missing.
+            try:
+                with open(partial) as f:
+                    res = json.load(f)
+            except Exception:
+                res = None
+            if res and res.get("value") is not None:
+                res["note"] = (f"extras truncated: {e} (TPU tunnel "
+                               "unresponsive during a late bench stage)")
+                print(json.dumps(res))
+                sys.exit(0)
             print(json.dumps({
                 "metric": "cellsearch_wallclock_per_fc_ms",
                 "value": None,
@@ -445,3 +507,8 @@ if __name__ == "__main__":
                          "unresponsive or backend failure)",
             }))
             sys.exit(1)   # automation keyed on exit status sees failure
+        finally:
+            try:
+                os.unlink(partial)
+            except OSError:
+                pass

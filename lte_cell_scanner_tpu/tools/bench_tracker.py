@@ -68,27 +68,23 @@ def _collect_pdus(seconds: float):
     return harvested, raw_blocks, proto
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--cells", type=int, default=96)
-    ap.add_argument("--seconds", type=float, default=1.2)
-    ap.add_argument("--chunk-ms", type=float, default=300.0,
-                    help="signal per engine cycle (dispatch cadence)")
-    args = ap.parse_args(argv)
-
-    pdus, raw_blocks, proto = _collect_pdus(args.seconds)
+def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
+    """Run the capacity measurement; returns the metric dict (the same
+    payload ``main`` prints). Callable from bench.py so the driver's
+    headline JSON carries the tracker capacity too."""
+    pdus, raw_blocks, proto = _collect_pdus(seconds)
     n_sym_s = proto.n_symb_dl * 2 * 1000
-    n_need = int(args.seconds * n_sym_s)
+    n_need = int(seconds * n_sym_s)
     if len(pdus) < n_need:
         n_need = len(pdus)
     pdus = pdus[:n_need]
-    chunk = max(1, int(args.chunk_ms / 1000 * n_sym_s))
+    chunk = max(1, int(chunk_ms / 1000 * n_sym_s))
     if len(pdus) <= chunk:
         # Never let warm-up consume the whole signal: keep >= 2 timed
         # chunks or the measurement degenerates to 0 s.
         chunk = max(1, len(pdus) // 3)
 
-    M = args.cells
+    M = cells
     state = GlobalState(fc_requested=739e6, fc_programmed=739e6,
                         fs_programmed=1.92e6, frequency_offset=4000.0)
     cells = []
@@ -160,17 +156,28 @@ def main(argv=None):
     realtime_factor = signal_s / wall
     cells_realtime = M * realtime_factor
     mibs = sum(c.mib_decode_successes for c in cells)
-    print(f"# {M} cells x {signal_s:.2f}s signal in {wall:.2f}s wall "
-          f"({mibs} MIB decodes)", flush=True)
+    if verbose:
+        print(f"# {M} cells x {signal_s:.2f}s signal in {wall:.2f}s wall "
+              f"({mibs} MIB decodes)", flush=True)
 
     dev = _device_bound(rec, counts, M, chunk, n_sym_s, signal_s)
-    print(json.dumps({
+    return {
         "metric": "tracker_cells_realtime_per_chip",
         "value": round(cells_realtime, 1),
         "unit": "cells",
         "vs_baseline": round(cells_realtime / BASELINE_CELLS, 1),
         **dev,
-    }))
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--cells", type=int, default=96)
+    ap.add_argument("--seconds", type=float, default=1.2)
+    ap.add_argument("--chunk-ms", type=float, default=300.0,
+                    help="signal per engine cycle (dispatch cadence)")
+    args = ap.parse_args(argv)
+    print(json.dumps(measure(args.cells, args.seconds, args.chunk_ms)))
 
 
 def _device_bound(rec, counts, M, chunk, n_sym_s, signal_s):
