@@ -231,7 +231,7 @@ def main():
     # dominant cost on any PCIe/tunnel link) running TWO batches ahead;
     # the main thread's per-batch critical path is
     #   fetch scan tables(i) -> sync dispatch(i) [+fetch]
-    #   -> MIB dispatch    -> collect older deferred MIB results
+    #   -> collect older deferred MIB results -> MIB dispatch
     #   -> dispatch scan(i+1),
     # so batch i's decode chain overlaps batch i+1's upload, and batch
     # i's MIB fetch overlaps batch i+1's scan. With defer_sync the sync

@@ -46,19 +46,13 @@ from lte_cell_scanner_tpu.models.pn import lte_pn
 from lte_cell_scanner_tpu.models.ratematch import _index_map
 from lte_cell_scanner_tpu.models.rs import RSDL
 from lte_cell_scanner_tpu.ops.pbch import N_RB_DL_TABLE, PHICH_RES_TABLE
-from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins
-from lte_cell_scanner_tpu.ops.tfg import CN
+# _bucket: ONE batch-bucket policy for the sync and MIB programs (a
+# desync would double the set of compiled shapes — minutes through a
+# tunneled chip).
+from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins, _bucket
+from lte_cell_scanner_tpu.ops.tfg import CN, symbol_timestamps_batch
 from lte_cell_scanner_tpu.tracker.batch_frontend import _cabs2, _cconj, _cmul
 from lte_cell_scanner_tpu.utils.dsp import interp1
-
-
-def _bucket(n: int, lo: int = 4) -> int:
-    """Coarse batch buckets — see ops/sync_jax.py._bucket (x4 to 64,
-    then x2)."""
-    b = lo
-    while b < n:
-        b *= 4 if b < 64 else 2
-    return b
 
 
 # ----------------------------------------------------------------------
@@ -399,23 +393,10 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
     base_v = np.asarray(list(cap_bases)[:n], np.int64)
 
     k_factor = (fc_req - freq_fine) / fc_prog
-    u = 16.0 / FS_LTE * fs_prog * k_factor
-    # symbol_timestamps (ops/tfg.py:27-51), batched: seed + sequential
-    # cumsum of the per-symbol advances reproduces the scalar
-    # accumulation loop bit-exactly per row.
-    cp_off = 10.0 if cp_type == "normal" else 32.0
-    dft_loc = frame_st + cp_off * u
-    early = dft_loc - 0.01 * fs_prog * k_factor
-    dft_loc = np.where(early > -0.5, early, dft_loc)
-    if n_symb_dl == 6:
-        pat = np.full(n_ofdm - 1, 128.0 + 32.0)
-    else:
-        pat = np.tile(128.0 + np.array([9, 9, 9, 9, 9, 9, 10],
-                                       np.float64),
-                      (n_ofdm + 6) // 7)[:n_ofdm - 1]
-    incs = pat[None, :] * u[:, None]                        # (n, S-1)
-    ts = np.cumsum(np.concatenate([dft_loc[:, None], incs], axis=1),
-                   axis=1)                                  # (n, S)
+    # The symbol-timing contract is single-sourced in ops/tfg.py (the
+    # scalar host path wraps the same batched function).
+    ts = symbol_timestamps_batch(cp_type, frame_st, fs_prog,
+                                 k_factor)                  # (n, S)
     starts = np.round(ts).astype(np.int64)
     ok = (starts[:, -1] + 128 <= n_cap) & (starts[:, 0] >= 0)
     # rows that fail keep all-zero plans (host parity: capture too

@@ -26,29 +26,52 @@ CN = np.concatenate([np.arange(-36, 0), np.arange(1, 37)]).astype(np.float64)
 
 def symbol_timestamps(cell: Cell, fs_programmed: float, k_factor: float
                       ) -> np.ndarray:
-    """Fractional DFT start times for 6 frames + 2 slots of OFDM symbols."""
-    n_symb_dl = cell.n_symb_dl
+    """Fractional DFT start times for 6 frames + 2 slots of OFDM symbols.
+
+    Thin wrapper over :func:`symbol_timestamps_batch` (one row) so the
+    timing contract has a single source."""
+    return symbol_timestamps_batch(
+        cell.cp_type, np.array([cell.frame_start], np.float64),
+        np.array([fs_programmed], np.float64),
+        np.array([k_factor], np.float64))[0]
+
+
+def symbol_timestamps_batch(cp_type: str, frame_start: np.ndarray,
+                            fs_programmed: np.ndarray,
+                            k_factor: np.ndarray) -> np.ndarray:
+    """:func:`symbol_timestamps` batched over the candidate axis:
+    (n,) float64 inputs -> (n, n_ofdm) fractional DFT start times.
+
+    THE single source of the symbol-timing contract (CP offsets, the
+    0.01-subframe early-start rule, the per-CP increment pattern):
+    the scalar host path above and the device MIB plan
+    (ops/mib_jax.py::mib_plan) both consume it, so a change here
+    propagates to every decode path at once."""
+    frame_start = np.asarray(frame_start, np.float64)
+    fs_programmed = np.asarray(fs_programmed, np.float64)
+    k_factor = np.asarray(k_factor, np.float64)
+    n_symb_dl = 7 if cp_type == "normal" else 6
     u = 16.0 / FS_LTE * fs_programmed * k_factor
-    if cell.cp_type == "normal":
-        dft_location = cell.frame_start + 10 * u
-    else:
-        dft_location = cell.frame_start + 32 * u
+    dft_loc = frame_start + (10.0 if cp_type == "normal" else 32.0) * u
 
     # See if we can start one subframe earlier.
-    if dft_location - 0.01 * fs_programmed * k_factor > -0.5:
-        dft_location = dft_location - 0.01 * fs_programmed * k_factor
+    early = dft_loc - 0.01 * fs_programmed * k_factor
+    dft_loc = np.where(early > -0.5, early, dft_loc)
 
     n_ofdm = 6 * 10 * 2 * n_symb_dl + 2 * n_symb_dl
     if n_symb_dl == 6:
-        incs = np.full(n_ofdm - 1, (128 + 32) * u)
+        pat = np.full(n_ofdm - 1, 128.0 + 32.0)
     else:
-        pat = (128.0 + np.array([9, 9, 9, 9, 9, 9, 10], np.float64)) * u
-        incs = np.tile(pat, (n_ofdm + 6) // 7)[:n_ofdm - 1]
-    # np.cumsum (add.accumulate) is strictly sequential, so seeding it
-    # with dft_location reproduces the scalar accumulation loop
+        pat = np.tile(128.0 + np.array([9, 9, 9, 9, 9, 9, 10],
+                                       np.float64),
+                      (n_ofdm + 6) // 7)[:n_ofdm - 1]
+    incs = pat[None, :] * u[:, None]
+    # np.cumsum (add.accumulate) is strictly sequential per row, so
+    # seeding it with dft_loc reproduces the scalar accumulation loop
     # bit-exactly (the round() of these timestamps picks the DFT sample,
     # so the accumulation order is part of the numerical contract).
-    return np.cumsum(np.concatenate(([dft_location], incs)))
+    return np.cumsum(np.concatenate([dft_loc[:, None], incs], axis=1),
+                     axis=1)
 
 
 def extract_tfg(cell: Cell, capbuf_raw: np.ndarray, fc_requested: float,

@@ -345,7 +345,12 @@ def tables_to_peaks(tables: np.ndarray, capbufs, fc_list: Sequence[float],
     candidates, with the unbounded host rescan fallback when a device
     table filled up (mirrors search/cell_search.py's fallback for the
     fused single-capture path; reference peak loop
-    src/CellSearch.cpp:471-569)."""
+    src/CellSearch.cpp:471-569).
+
+    ``capbufs`` may be the (B, 2, n)/(B, n) capture array, or a callable
+    ``b -> one capture`` ((2, n) planes or (n,) complex) so callers
+    holding large batches (search/pipeline.py) don't materialize a copy
+    for the rare fallback."""
     fcp = list(fc_list) if fc_prog_list is None else list(fc_prog_list)
     out: List[List[Cell]] = []
     for b, fc in enumerate(fc_list):
@@ -360,7 +365,10 @@ def tables_to_peaks(tables: np.ndarray, capbufs, fc_list: Sequence[float],
             from lte_cell_scanner_tpu.search.cell_search import \
                 detection_threshold
 
-            r = xcorr_pss(_to_complex(np.asarray(capbufs), b),
+            cap_b = (_to_complex(np.asarray(capbufs(b))[None], 0)
+                     if callable(capbufs)
+                     else _to_complex(np.asarray(capbufs), b))
+            r = xcorr_pss(cap_b,
                           f_search_set,
                           ds_comb_arm, fc, fcp[b],
                           fs_programmed, backend="numpy")

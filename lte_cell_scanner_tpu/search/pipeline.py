@@ -105,11 +105,14 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
                            1).astype(np.float32)
     if B_tot == 0:
         return [], []
-    batch = min(batch, max(1, B_tot))
     n_shards = mesh.shape["cap"]
     if batch % n_shards:
         raise ValueError(f"batch={batch} not divisible by cap shards "
                          f"{n_shards}")
+    if B_tot < batch:
+        # Shrink to the sweep size, rounded UP to a shard multiple (the
+        # short chunk pads by repeating its last capture anyway).
+        batch = -(-B_tot // n_shards) * n_shards
     fcp_all = (list(fc_list) if fc_prog_list is None
                else list(fc_prog_list))
     shard = NamedSharding(mesh, P("cap"))
@@ -143,13 +146,17 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
         c.flat = to_flat(dev)
 
     def stage_sync(c: _Chunk):
-        peaks = tables_to_peaks(np.asarray(c.tables_dev),
-                                capbufs[c.idx], c.fcs,
+        # Only the n_real rows are converted (padded repeats would waste
+        # a host-rescan fallback); the captures go as a lazy accessor so
+        # the rare fallback doesn't cost a multi-MB copy per chunk.
+        peaks = tables_to_peaks(np.asarray(c.tables_dev)[:c.n_real],
+                                lambda b: capbufs[c.idx[b]],
+                                c.fcs[:c.n_real],
                                 f_search_set, fs_programmed,
-                                fc_prog_list=c.fcp)
+                                fc_prog_list=c.fcp[:c.n_real])
         c.tables_dev = None
         c.cells, c.bases = [], []
-        for b in range(c.n_real):      # padded repeats are dropped here
+        for b in range(c.n_real):
             for cell in peaks[b]:
                 c.cells.append(cell)
                 c.bases.append(b * n_cap)
