@@ -61,3 +61,18 @@ def test_pipelined_sweep_rejects_bad_batch():
     with pytest.raises(ValueError, match="not divisible"):
         pipelined_search_sweep(caps, [739e6] * 4, np.zeros(3),
                                make_cap_mesh(2), batch=3)
+
+
+def test_pipelined_sweep_small_sweep_keeps_shard_multiple():
+    """A sweep smaller than the (valid) batch must run: the clamp
+    rounds UP to a cap-shard multiple instead of inheriting a
+    non-divisible B_tot (review finding: batch=32 with 3 captures on a
+    2-shard mesh used to die with 'batch=3 not divisible')."""
+    from lte_cell_scanner_tpu.parallel.fc_sweep import make_cap_mesh
+    from lte_cell_scanner_tpu.search.pipeline import pipelined_search_sweep
+
+    caps = np.zeros((3, 2, 19200), np.uint8) + 127   # dead band
+    per_cap, dd = pipelined_search_sweep(
+        caps, [739e6, 739.1e6, 739.2e6], np.array([0.0]),
+        make_cap_mesh(2), batch=32)
+    assert per_cap == [[], [], []] and dd == []
