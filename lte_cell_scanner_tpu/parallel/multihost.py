@@ -301,8 +301,8 @@ def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 4,
 
     ``retry_below``: wall-clock samples on a timeshared core are noisy
     under transient box load; if set and the measurement's scaling
-    lands below it, the whole measurement reruns (up to 3 times) and
-    the best sample is returned.
+    lands outside [retry_below, 1.25], the whole measurement reruns
+    (up to 3 times) and the sample closest to linear is returned.
     """
     total_b = n_procs * b_per_proc
     env = dict(MH_MODE="sweep", MH_NCAP=n_cap, MH_NF=n_f, MH_REPS=reps)
@@ -338,14 +338,21 @@ def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 4,
         "samples_per_sec_nhost_total": int(samples_n / t_n),
         "scaling": round(t1 / (n_procs * t_n), 3),
     }
+    # Wall-clock samples on a timeshared core are noisy in BOTH
+    # directions: transient box load during the 1-host baseline shows up
+    # as impossible SUPER-linear scaling (>1.25), load during the
+    # N-host run as sub-linear. Retry until a sample lands in the
+    # plausible band, keeping the sample closest to linear.
+    retry_above = 1.25
     for _ in range(3):
-        if retry_below is None or res["scaling"] >= retry_below:
+        if retry_below is None or \
+                retry_below <= res["scaling"] <= retry_above:
             break
         retry = measure_sweep_scaling(
             n_procs=n_procs, b_per_proc=b_per_proc,
             devices_per_proc=devices_per_proc, n_f=n_f, n_cap=n_cap,
             reps=reps, timeout=timeout, verbose=False)
-        if retry["scaling"] > res["scaling"]:
+        if abs(retry["scaling"] - 1.0) < abs(res["scaling"] - 1.0):
             res = retry
     if verbose:
         print(f"multihost sweep scaling: {res}")
