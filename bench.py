@@ -38,7 +38,11 @@ import time
 import numpy as np
 
 BASELINE_MS_PER_FC = 6000.0
-B = int(os.environ.get("LTE_BENCH_B", "32"))    # captures per batch
+# Captures per batch: 64 amortizes the link's ~26 ms dispatch/fetch round
+# trips twice as well as 32 (measured serial 8.5 vs 9.9, deep-pipelined
+# 6.2 vs 7.0 ms/fc at the same link rate); 128 measured no further gain
+# (the per-fc host tail and byte floor dominate from 64 up).
+B = int(os.environ.get("LTE_BENCH_B", "64"))    # captures per batch
 REPS = int(os.environ.get("LTE_BENCH_REPS", "10"))  # batches per timing
 
 
