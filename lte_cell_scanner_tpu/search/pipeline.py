@@ -65,7 +65,7 @@ class _Chunk:
 
 def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
                            f_search_set: np.ndarray, mesh: Mesh,
-                           batch: int = 32,
+                           batch: int = 64,
                            fs_programmed: float = 1.92e6,
                            thresh2_n_sigma: float = None,
                            dedup_cells: bool = True,
