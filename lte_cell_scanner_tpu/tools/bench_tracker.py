@@ -115,12 +115,20 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
 
     rec: dict = {}
     counts = {"cycles": 0, "mib": 0}
-    orig = (br._demod_stream_jit, br._stats_jit, br.lte_conv_decode_batch)
+    orig = (br._demod_stream_jit, br._stats_jit, br.lte_conv_decode_batch,
+            br._demod_stream_pallas_jit)
 
     def tap_demod(*a):
         rec["demod"] = a
+        rec["demod_fn"] = orig[0]
         counts["cycles"] += 1
         return orig[0](*a)
+
+    def tap_demod_pallas(*a):
+        rec["demod"] = a
+        rec["demod_fn"] = orig[3]
+        counts["cycles"] += 1
+        return orig[3](*a)
 
     def tap_stats(*a):
         rec["stats"] = a
@@ -132,6 +140,7 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
         return orig[2](b)
 
     br._demod_stream_jit = tap_demod
+    br._demod_stream_pallas_jit = tap_demod_pallas
     br._stats_jit = tap_stats
     br.lte_conv_decode_batch = tap_vit
     try:
@@ -149,8 +158,8 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
             fed = hi
         wall = time.time() - t0
     finally:
-        (br._demod_stream_jit, br._stats_jit,
-         br.lte_conv_decode_batch) = orig
+        (br._demod_stream_jit, br._stats_jit, br.lte_conv_decode_batch,
+         br._demod_stream_pallas_jit) = orig
 
     signal_s = (fed - chunk) / n_sym_s
     realtime_factor = signal_s / wall
@@ -196,7 +205,7 @@ def _device_bound(rec, counts, M, chunk, n_sym_s, signal_s):
     if jax.default_backend() == "cpu" or "demod" not in rec \
             or "stats" not in rec:
         return {}
-    dem = br._demod_stream_jit.__wrapped__
+    dem = rec["demod_fn"].__wrapped__
     st = br._stats_jit.__wrapped__
     da = [jnp.asarray(np.asarray(a)) for a in rec["demod"]]
     sa = rec["stats"]

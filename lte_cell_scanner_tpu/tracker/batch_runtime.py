@@ -381,10 +381,13 @@ class BatchTrackerEngine:
             L = _bucket(len(seg), lo=4096)
             seg = np.concatenate(
                 [seg, np.zeros((L - len(seg), 2), np.uint8)])
-            flat, ce_dev = _demod_stream_jit(
-                jnp.asarray(seg),
-                jnp.asarray((starts - lo).clip(0).astype(np.int32)),
-                *common)
+            starts_dev = jnp.asarray((starts - lo).clip(0).astype(np.int32))
+            if jax.default_backend() != "cpu":
+                flat, ce_dev = _demod_stream_pallas_jit(
+                    jnp.asarray(seg), starts_dev, *common)
+            else:
+                flat, ce_dev = _demod_stream_jit(
+                    jnp.asarray(seg), starts_dev, *common)
         else:
             flat, ce_dev = _demod_jit(jnp.asarray(data), *common)
         # Fetch deferred to _ingest_demod (after the stats dispatch).
@@ -868,6 +871,13 @@ def _demod_core(data, foc_rate, bpo, late, rs_conj_tab, shift_tab,
                 rs_idx, rs_slot, rs_sym, keep_idx, pair_idx, pair_sel,
                 pss_conj, sss_tab, j=None):
     syms = bf.get_fd_batch(data, foc_rate, bpo, late, j=j)  # (C,S,72,2)
+    return _demod_tail(syms, rs_conj_tab, shift_tab, rs_idx, rs_slot,
+                       rs_sym, keep_idx, pair_idx, pair_sel, pss_conj,
+                       sss_tab)
+
+
+def _demod_tail(syms, rs_conj_tab, shift_tab, rs_idx, rs_slot, rs_sym,
+                keep_idx, pair_idx, pair_sel, pss_conj, sss_tab):
     C = syms.shape[0]
     cidx = jnp.arange(C, dtype=jnp.int32)[:, None]
     # PBCH symbols home; everything else consumed on device.
@@ -913,6 +923,27 @@ def _demod_stream_jit(seg, starts, foc_rate, bpo, late, *args):
     g, j, b = _aligned_wins(x, starts)                      # (C,S,128,2)
     return _demod_core(g, foc_rate, bpo,
                        late - b.astype(jnp.float32), *args, j=j)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _demod_stream_pallas_jit(seg_u8, starts, foc_rate, bpo, late, *args,
+                             interpret=False):
+    """Fused-kernel variant of _demod_stream_jit: the row gather stays in
+    XLA but runs in uint8 (a quarter of the f32 gather bytes), and the
+    blend + FOC + DFT + phase rotation run in one VMEM-resident Pallas
+    pass (ops/fd_demod_pallas.py) instead of materializing every
+    intermediate to HBM. Output is bit-identical on TPU (same MXU dots,
+    same f32 elementwise chain)."""
+    from lte_cell_scanner_tpu.ops.fd_demod_pallas import (fd_demod_pallas,
+                                                          planar_rows)
+
+    C, S = starts.shape
+    yr, yi, yr2, yi2, b = planar_rows(seg_u8, starts.reshape(-1))
+    syms = fd_demod_pallas(
+        yr, yi, yr2, yi2, b,
+        foc_rate.reshape(-1), bpo.reshape(-1), late.reshape(-1),
+        interpret=interpret)
+    return _demod_tail(syms.reshape(C, S, 72, 2), *args)
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg",))
