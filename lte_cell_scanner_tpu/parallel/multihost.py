@@ -217,14 +217,36 @@ def dryrun_multihost(n_procs: int = 2, devices_per_proc: int = 4,
     """
     n_dev = n_procs * devices_per_proc
     n_seq = n_dev // n_hyp
-    outs = _launch_workers(n_procs, devices_per_proc,
-                           dict(MH_NCAP=n_cap, MH_NF=n_f, MH_SEQ=n_seq,
-                                MH_HYP=n_hyp), timeout)
-    failures = [i for i, out in enumerate(outs) if _OK_MARK not in out]
-    if failures:
+    # One retry: on a timeshared box a concurrent CPU-heavy job can
+    # starve a worker past the gloo handshake deadline, which shows up
+    # as a missing parity marker — a transient, not a correctness bug.
+    last_detail = ""
+    for attempt in range(2):
+        try:
+            outs = _launch_workers(n_procs, devices_per_proc,
+                                   dict(MH_NCAP=n_cap, MH_NF=n_f,
+                                        MH_SEQ=n_seq, MH_HYP=n_hyp),
+                                   timeout)
+        except RuntimeError as e:
+            outs, last_detail = None, str(e)
+        else:
+            failures = [i for i, out in enumerate(outs)
+                        if _OK_MARK not in out]
+            if not failures:
+                break
+            last_detail = ("missing parity marker in process(es) "
+                           f"{failures}:\n" + "\n---\n".join(
+                               _tail(o) for o in outs))
+    else:
+        try:
+            load = ", ".join(f"{v:.1f}" for v in os.getloadavg())
+        except OSError:  # pragma: no cover - non-POSIX
+            load = "unavailable"
         raise RuntimeError(
-            "multihost dryrun failed in process(es) "
-            f"{failures}:\n" + "\n---\n".join(outs))
+            "multihost dryrun failed twice. If the 1-min load average "
+            f"({load}) exceeds the core count, CPU contention starving "
+            "the gloo coordinator handshake is the likely cause — rerun "
+            f"on an idle box.\n{last_detail}")
     if verbose:
         for out in outs:
             for line in out.splitlines():
@@ -233,6 +255,11 @@ def dryrun_multihost(n_procs: int = 2, devices_per_proc: int = 4,
         print(f"dryrun_multihost OK: {n_procs} processes x "
               f"{devices_per_proc} devices, mesh seq={n_seq} x hyp={n_hyp}, "
               "1e-12 table parity across the process boundary")
+
+
+def _tail(out: str, n: int = 12) -> str:
+    """Last ``n`` lines of a worker's combined output (diagnostics)."""
+    return "\n".join(out.splitlines()[-n:])
 
 
 def _launch_workers(n_procs: int, devices_per_proc: int, env_extra: dict,
@@ -274,36 +301,11 @@ def _launch_workers(n_procs: int, devices_per_proc: int, env_extra: dict,
     return outs
 
 
-def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 4,
-                          devices_per_proc: int = 1, n_f: int = 4,
-                          n_cap: int = 153600, reps: int = 2,
-                          timeout: float = 1200.0,
-                          verbose: bool = True,
-                          retry_below: float = None) -> dict:
-    """MEASURE capture-sharded fc-sweep throughput at 1 vs N hosts.
-
-    Backs BASELINE.md's ">=0.9 linear samples/s scaling 1 -> 2 hosts"
-    with wall-clock measurements from real ``jax.distributed``
-    multi-process runs (gloo over localhost):
-
-    - a 1-process run sweeping the WHOLE batch gives T1 directly;
-    - an N-process run gives each host's t_self for ITS captures and
-      the cross-host barrier cost t_comm. This machine has one CPU
-      core, so the N processes compute in barrier-coordinated turns
-      (waiters sleep in a blocking gloo read) — each t_self is a real
-      full-core wall-clock, exactly what an N-core/N-host deployment
-      would run concurrently, because the capture axis needs ZERO
-      cross-host traffic during compute (the only shared step is the
-      host-level cell-list merge). T_N = max_p(t_self) + t_comm.
-
-    Returns {"samples_per_sec_1host", "samples_per_sec_nhost_total",
-    "scaling", ...}; scaling = T1 / (N * T_N).
-
-    ``retry_below``: wall-clock samples on a timeshared core are noisy
-    under transient box load; if set and the measurement's scaling
-    lands outside [retry_below, 1.25], the whole measurement reruns
-    (up to 3 times) and the sample closest to linear is returned.
-    """
+def _measure_sweep_once(n_procs: int, b_per_proc: int,
+                        devices_per_proc: int, n_f: int, n_cap: int,
+                        reps: int, timeout: float) -> dict:
+    """One full 1-host + N-host throughput measurement (see
+    measure_sweep_scaling for the methodology)."""
     total_b = n_procs * b_per_proc
     env = dict(MH_MODE="sweep", MH_NCAP=n_cap, MH_NF=n_f, MH_REPS=reps)
 
@@ -328,7 +330,7 @@ def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 4,
     valsn = parse(outsn)
     t_n = max(v[0] for v in valsn) + max(v[1] for v in valsn)
     samples_n = sum(v[2] for v in valsn)
-    res = {
+    return {
         "n_procs": n_procs,
         "captures_total": total_b,
         "t_1host_s": round(t1, 3),
@@ -338,22 +340,47 @@ def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 4,
         "samples_per_sec_nhost_total": int(samples_n / t_n),
         "scaling": round(t1 / (n_procs * t_n), 3),
     }
-    # Wall-clock samples on a timeshared core are noisy in BOTH
-    # directions: transient box load during the 1-host baseline shows up
-    # as impossible SUPER-linear scaling (>1.25), load during the
-    # N-host run as sub-linear. Retry until a sample lands in the
-    # plausible band, keeping the sample closest to linear.
-    retry_above = 1.25
-    for _ in range(3):
-        if retry_below is None or \
-                retry_below <= res["scaling"] <= retry_above:
-            break
-        retry = measure_sweep_scaling(
-            n_procs=n_procs, b_per_proc=b_per_proc,
-            devices_per_proc=devices_per_proc, n_f=n_f, n_cap=n_cap,
-            reps=reps, timeout=timeout, verbose=False)
-        if abs(retry["scaling"] - 1.0) < abs(res["scaling"] - 1.0):
-            res = retry
+
+
+def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 8,
+                          devices_per_proc: int = 1, n_f: int = 4,
+                          n_cap: int = 153600, reps: int = 4,
+                          timeout: float = 1200.0,
+                          verbose: bool = True,
+                          n_meas: int = 3) -> dict:
+    """MEASURE capture-sharded fc-sweep throughput at 1 vs N hosts.
+
+    Backs BASELINE.md's ">=0.9 linear samples/s scaling 1 -> 2 hosts"
+    with wall-clock measurements from real ``jax.distributed``
+    multi-process runs (gloo over localhost):
+
+    - a 1-process run sweeping the WHOLE batch gives T1 directly;
+    - an N-process run gives each host's t_self for ITS captures and
+      the cross-host barrier cost t_comm. This machine has one CPU
+      core, so the N processes compute in barrier-coordinated turns
+      (waiters sleep in a blocking gloo read) — each t_self is a real
+      full-core wall-clock, exactly what an N-core/N-host deployment
+      would run concurrently, because the capture axis needs ZERO
+      cross-host traffic during compute (the only shared step is the
+      host-level cell-list merge). T_N = max_p(t_self) + t_comm.
+
+    Wall-clock samples on a timeshared core are noisy in both
+    directions (transient load during the 1-host leg reads as
+    super-linear scaling, load during the N-host leg as sub-linear), so
+    the estimator is the MEDIAN of ``n_meas`` full measurements — a
+    plain order statistic, not a selection rule — and every sample's
+    scaling is returned in ``scaling_samples`` for auditability.
+
+    Returns the median measurement's dict ({"samples_per_sec_1host",
+    "samples_per_sec_nhost_total", "scaling", ...};
+    scaling = T1 / (N * T_N)) plus ``scaling_samples``.
+    """
+    meas = [_measure_sweep_once(n_procs, b_per_proc, devices_per_proc,
+                                n_f, n_cap, reps, timeout)
+            for _ in range(max(1, n_meas))]
+    meas.sort(key=lambda m: m["scaling"])
+    res = dict(meas[len(meas) // 2],
+               scaling_samples=[m["scaling"] for m in meas])
     if verbose:
         print(f"multihost sweep scaling: {res}")
     return res

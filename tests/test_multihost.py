@@ -26,6 +26,7 @@ def test_sweep_scaling_measured():
     imbalance and the (measured) barrier cost."""
     res = measure_sweep_scaling(n_procs=2, b_per_proc=2, n_f=2,
                                 n_cap=76800, reps=2, verbose=False,
-                                retry_below=0.9)
+                                n_meas=3)
     assert res["scaling"] >= 0.9, res
+    assert len(res["scaling_samples"]) == 3, res
     assert res["samples_per_sec_nhost_total"] > res["samples_per_sec_1host"]
