@@ -6,9 +6,12 @@ pbch_extract, decode_mib), mirrored numerically by the float64 host paths
 in ops/tfg.py, ops/chanest.py and ops/pbch.py. One fixed-shape device
 program runs EVERY surviving candidate of a capture:
 
-- the 854 (normal CP) / 732 (extended) per-symbol DFTs are one gather +
-  one (128 -> 72-bin) DFT matmul on the MXU, with the fractional-timing
-  phase ramps as vectorized outer products;
+- the per-symbol DFTs are one gather + one (128 -> 72-bin) DFT matmul
+  on the MXU, with the fractional-timing phase ramps as vectorized
+  outer products — over the COMPACT consumed-row grid only (394 of the
+  854 normal-CP rows: RS rows, sym-1 rows and the 7x4 PBCH rows; the
+  reference's full extract_tfg grid, src/searcher.cpp:852-935, is
+  mostly never read by the MIB chain);
 - superfine FOE/TOE and the grid compensations are batched RS gathers;
 - channel estimation uses the separable freq-then-time linear
   interpolator (ce_interp_freq_time — the reference documents all three
@@ -438,14 +441,6 @@ def _sel6(x, shift):
     return jnp.sum(x * oh.astype(x.dtype)[:, None, None, :, None], axis=3)
 
 
-def _comb_rows(tfg, n_symb_dl, sym_off):
-    """All slots' symbol ``sym_off`` rows via reshape — replaces the
-    strided row gather tfg[:, slots * n_symb_dl + sym_off]."""
-    B, n_ofdm = tfg.shape[0], tfg.shape[1]
-    n_slot = n_ofdm // n_symb_dl
-    return tfg.reshape(B, n_slot, n_symb_dl, 72, 2)[:, :, sym_off]
-
-
 def _rs_tile(rs_conj, sym_class, n_slot):
     """rs_conj (B, 20, 3, 12, 2) -> the slot_mod-20 sequence (B, n_slot,
     12, 2) by tiling (slot_mod = slot % 20 is periodic, no gather)."""
@@ -454,14 +449,18 @@ def _rs_tile(rs_conj, sym_class, n_slot):
     return jnp.tile(r, (1, reps, 1, 1))[:, :n_slot]
 
 
-def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm, rows_sel):
+def _chan_est_dev(blk0, blk1, blk2, rs_conj, shifts, n_symb_dl, n_ofdm,
+                  rows_sel):
     """Batched 4-port channel estimation (freq_time interpolator),
     evaluated ONLY at the ``rows_sel`` static OFDM rows (the 7x4 PBCH
     symbol rows — the only rows the MIB decode consumes; the host path
     in ops/chanest.py keeps the full-grid reference implementation).
 
-    tfg: (B, n_ofdm, 72, 2). Returns (ce (B, 4, len(rows_sel), 72, 2),
-    np_v (B, 4))."""
+    blk0/blk1/blk2: (B, n_slot, 72, 2) — the compact grid's RS row
+    blocks (per-slot sym 0, sym n_symb_dl-3, sym 1; see
+    _build_mib_device's row layout). Returns
+    (ce (B, 4, len(rows_sel), 72, 2), np_v (B, 4))."""
+    tfg = blk0                        # dtype/shape donor
     n_slot = n_ofdm // n_symb_dl
     curr, lo, hi, n_curr, n_lo, n_hi = (jnp.asarray(a) for a in
                                         _filter_mats12())
@@ -505,11 +504,11 @@ def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm, rows_sel):
     for port in range(4):
         if port <= 1:
             # RS rows interleave sym 0 (shift idx 0) and sym n-3 (idx 1).
-            raw_a = _cmul(_sel6(_comb_rows(tfg, n_symb_dl, 0).reshape(
+            raw_a = _cmul(_sel6(blk0.reshape(
                 B, n_slot, 12, 6, 2), shifts[:, port, 0]),
                 _rs_tile(rs_conj, 0, n_slot))
-            raw_b = _cmul(_sel6(_comb_rows(
-                tfg, n_symb_dl, n_symb_dl - 3).reshape(B, n_slot, 12, 6, 2),
+            raw_b = _cmul(_sel6(
+                blk1.reshape(B, n_slot, 12, 6, 2),
                 shifts[:, port, 1]), _rs_tile(rs_conj, 2, n_slot))
             ce_raw = jnp.stack([raw_a, raw_b], axis=2).reshape(
                 B, 2 * n_slot, 12, 2)                      # interleaved
@@ -519,8 +518,7 @@ def _chan_est_dev(tfg, rs_conj, shifts, n_symb_dl, n_ofdm, rows_sel):
             par = jnp.arange(2 * n_slot) % 2
         else:
             # sym-1 rows; shift alternates with slot parity.
-            sym1 = _comb_rows(tfg, n_symb_dl, 1).reshape(
-                B, n_slot, 12, 6, 2)
+            sym1 = blk2.reshape(B, n_slot, 12, 6, 2)
             v_e = _sel6(sym1, shifts[:, port, 0])
             v_o = _sel6(sym1, shifts[:, port, 1])
             par = jnp.arange(n_slot) % 2
@@ -600,13 +598,21 @@ def _sfbc_dev(pbch_sym, pbch_ce, np_v):
 
 
 def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
-                      stage: str = None):
+                      stage: str = None, use_pallas: bool = False,
+                      interpret: bool = False):
     """Compile-cached device program for one CP geometry.
 
     ``stage`` (instrumentation only — tools/bench_decode.py): cut the
     program after the named milestone and return a reduced f32 scalar,
     so chained-scan timing can attribute device time per stage. None
-    (production) runs the full program."""
+    (production) runs the full program.
+
+    ``use_pallas`` runs the extract_tfg stage (blend + FOC + 128->72
+    DFT + fractional-timing ramp for every consumed symbol window — the
+    program's dominant HBM traffic) as the fused VMEM-resident kernel of
+    ops/fd_demod_pallas.py with the SAME factorization, so the two paths
+    are bit-identical on TPU (same ops, same order, same MXU dots);
+    ``interpret`` runs that kernel interpreted (CPU tests)."""
 
     cn = jnp.asarray(CN.astype(np.float32))
     wr, wi = (jnp.asarray(m) for m in _dft72())
@@ -623,6 +629,22 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
     sel = jnp.asarray(_pbch_sel(n_symb_dl))          # (3, n_frame, 288)
     n_frame = sel.shape[1]
 
+    # COMPACT static row layout: the decode consumes only the RS rows
+    # (per-slot sym 0 and n-3 for ports 0/1 + TFOEC/TOE, sym 1 for
+    # ports 2/3) and the 7x4 PBCH rows — 394 of the 854 rows (normal
+    # CP) of the reference's full extract_tfg grid
+    # (src/searcher.cpp:852-935). The device demodulates ONLY these,
+    # laid out block-contiguous [sym0 | sym n-3 | sym1 | pbch] so every
+    # consumer is a static slice (no gathers); the 2.2x fewer window
+    # DFTs and bulk rotations are the MIB program's dominant cost.
+    # Values at consumed rows are IDENTICAL to the full-grid program.
+    rows0 = np.arange(n_slot) * n_symb_dl
+    rows_used = np.concatenate(
+        [rows0, rows0 + n_symb_dl - 3, rows0 + 1,
+         np.asarray(rows_sel)]).astype(np.int32)
+    o1, o2, o3 = n_slot, 2 * n_slot, 3 * n_slot
+    idx_c = jnp.asarray(rows_used)
+
     def rot_pair(ang):
         return jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)
 
@@ -633,13 +655,16 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
     def run(cap, start0, sdelta, phase0_q, inwin, late_q, base, n_id,
             rs_tab, shifts_tab, scr_tab, omk_base, inv_fcp):
         # Unpack the link-compressed plan (see MibPlan). Integer starts
-        # from the u8 deltas (exact: i32 cumsum), fixed-point phases and
-        # lateness back to f32.
-        starts = start0[:, None] + jnp.cumsum(
-            sdelta.astype(jnp.int32), axis=1)
-        phase0 = phase0_q.astype(jnp.float32) * np.float32(
-            2.0 * np.pi / 65536.0)
-        late = late_q.astype(jnp.float32) * np.float32(1.0 / 32768.0)
+        # from the u8 deltas (exact: i32 cumsum) over the FULL symbol
+        # grid, then a static column gather down to the compact
+        # consumed-row layout; fixed-point phases and lateness back to
+        # f32.
+        starts = jnp.take(start0[:, None] + jnp.cumsum(
+            sdelta.astype(jnp.int32), axis=1), idx_c, axis=1)
+        phase0 = jnp.take(phase0_q, idx_c, axis=1).astype(
+            jnp.float32) * np.float32(2.0 * np.pi / 65536.0)
+        late = jnp.take(late_q, idx_c, axis=1).astype(
+            jnp.float32) * np.float32(1.0 / 32768.0)
         # Rebuild the fractional symbol timestamps on device: the i32
         # subtraction is exact and starts-base < 2^24, so
         # (starts - base) - late carries MORE precision than an
@@ -664,26 +689,40 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
         # ---- extract_tfg (aligned-blend windowing: see
         # sync_jax._aligned_wins — the b-sample cyclic rotation folds
         # into the fractional-timing phase ramp as late - b).
-        g, jidx, bofs = _aligned_wins(cap, starts)       # (B, S, 128, 2)
-        if stage == "wins":
-            return _cut(g)
-        ang = phase0[..., None] + inwin[:, None, None] * jidx
-        x = _cmul(g, rot_pair(ang))
-        yr = x[..., 0] @ wr - x[..., 1] @ wi
-        yi = x[..., 0] @ wi + x[..., 1] @ wr
-        tfg = jnp.stack([yr, yi], -1)                    # (B, S, 72, 2)
-        tfg = _cmul(tfg, rot_pair(
-            -2.0 * jnp.pi * (late - bofs.astype(cap.dtype))[..., None]
-            * cn / 128.0))
+        if use_pallas and stage != "wins":
+            from lte_cell_scanner_tpu.ops.fd_demod_pallas import (
+                fd_demod_pallas, planar_rows_f32)
+
+            B_, S_ = starts.shape
+            ra, ia, ra1, ia1, bofs = planar_rows_f32(
+                cap, starts.reshape(-1))
+            tfg = fd_demod_pallas(
+                ra, ia, ra1, ia1, bofs,
+                jnp.broadcast_to(inwin[:, None], (B_, S_)).reshape(-1),
+                phase0.reshape(-1), late.reshape(-1),
+                mats=(*_dft72(), CN.astype(np.float32)), pre_bpo=True,
+                interpret=interpret).reshape(B_, S_, 72, 2)
+        else:
+            g, jidx, bofs = _aligned_wins(cap, starts)   # (B, S, 128, 2)
+            if stage == "wins":
+                return _cut(g)
+            ang = phase0[..., None] + inwin[:, None, None] * jidx
+            x = _cmul(g, rot_pair(ang))
+            yr = x[..., 0] @ wr - x[..., 1] @ wi
+            yi = x[..., 0] @ wi + x[..., 1] @ wr
+            tfg = jnp.stack([yr, yi], -1)                # (B, S, 72, 2)
+            tfg = _cmul(tfg, rot_pair(
+                -2.0 * jnp.pi * (late - bofs.astype(cap.dtype))[..., None]
+                * cn / 128.0))
         if stage == "tfg":
             return _cut(tfg)
 
         def rs_comp_rows(grid, sym_class, class_idx, shift):
-            """grid rows of one RS sym class, comb-extracted and
-            RS-compensated (reshape + VPU one-hot — no gathers).
-            shift (B,) -> (B, n_slot, 12, 2)."""
-            off = 0 if class_idx == 0 else n_symb_dl - 3
-            rows = _comb_rows(grid, n_symb_dl, off).reshape(
+            """compact-grid rows of one RS sym class (a static block
+            slice), comb-extracted and RS-compensated (slice + VPU
+            one-hot — no gathers). shift (B,) -> (B, n_slot, 12, 2)."""
+            off = 0 if class_idx == 0 else o1
+            rows = grid[:, off:off + n_slot].reshape(
                 grid.shape[0], n_slot, 12, 6, 2)
             return _cmul(_sel6(rows, shift),
                          _rs_tile(rs_conj, sym_class, n_slot))
@@ -736,8 +775,9 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
             return _cut(tfg_c)
 
         # ---- channel estimation, 4 ports, at the 28 PBCH rows only.
-        ce, np_v = _chan_est_dev(tfg_c, rs_conj, shifts, n_symb_dl,
-                                 n_ofdm, rows_sel)
+        ce, np_v = _chan_est_dev(tfg_c[:, :o1], tfg_c[:, o1:o2],
+                                 tfg_c[:, o2:o3], rs_conj, shifts,
+                                 n_symb_dl, n_ofdm, rows_sel)
         if stage == "chanest":
             return _cut(ce, np_v)
 
@@ -750,8 +790,8 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
         # they are tiny (<2 GFLOP) so the multi-pass cost is nil.
         hi = jax.lax.Precision.HIGHEST
         msel = jnp.einsum("bv,vnc->bnc", vshift_oh, sel)  # (B, nf, 288)
-        frames = jnp.stack([tfg_c[:, r:r + 4] for r in pbch_syms],
-                           axis=1)                       # (B, 7, 4, 72, 2)
+        frames = tfg_c[:, o3:o3 + 28].reshape(
+            B, 7, 4, 72, 2)               # the compact layout's pbch block
         comp = jnp.einsum("bnc,bfcp->bfnp", msel,
                           frames.reshape(B, 7, 288, 2),
                           precision=hi)                  # (B, 7, nf, 2)
@@ -817,8 +857,22 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
 
 @functools.lru_cache(maxsize=16)
 def _mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
-                stage: str = None):
-    return _build_mib_device(n_symb_dl, n_ofdm, m_bit, stage)
+                stage: str = None, use_pallas: bool = False,
+                interpret: bool = False):
+    return _build_mib_device(n_symb_dl, n_ofdm, m_bit, stage,
+                             use_pallas, interpret)
+
+
+def _pallas_default() -> bool:
+    """Fused extract_tfg by default on real accelerator backends; the
+    CPU backend keeps the XLA formulation (Pallas there would need
+    interpret mode, which is slower, not faster)."""
+    import os
+
+    env = os.environ.get("LTE_MIB_PALLAS")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() != "cpu"
 
 
 # ----------------------------------------------------------------------
@@ -876,7 +930,8 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
         n_cap = cap_dev.shape[0]
     plan = mib_plan(cells, n_cap, fc_requested, fc_programmed,
                     fs_programmed, cap_bases=cap_bases)
-    run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit)
+    run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
+                      use_pallas=_pallas_default())
     rs_tab, shifts_tab, scr_tab = _dev_cell_tables(cells[0].cp_type)
     out = run(cap_dev, plan.start0, plan.sdelta, plan.phase0_q,
               plan.inwin, plan.late_q, plan.base, plan.n_id,

@@ -81,7 +81,9 @@ def main(argv=None):
 
     from lte_cell_scanner_tpu.constants import THRESH2_N_SIGMA
     from lte_cell_scanner_tpu.ops.mib_jax import (_dev_cell_tables,
-                                                  _mib_device, mib_plan)
+                                                  _mib_device,
+                                                  _pallas_default,
+                                                  mib_plan)
     from lte_cell_scanner_tpu.ops.sync_jax import _sync_device, sync_plan
 
     cap, fc = _get_capture()
@@ -162,11 +164,16 @@ def main(argv=None):
                + [s for s in stages if s != "full"]):
         if st in raw:
             continue
-        # 'full' uses the same positional lru_cache key as
-        # decode_mib_batch — one compiled program, not two.
-        run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit)
+        # 'full' uses the same lru_cache key as decode_mib_batch — one
+        # compiled program, not two. Stage cuts measure the same
+        # (production) extract path; the 'wins' cut always uses the XLA
+        # gather (the fused kernel has no separate windows milestone).
+        up = _pallas_default()
+        run = (_mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit,
+                           use_pallas=up)
                if st == "full" else
-               _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st))
+               _mib_device(mp.n_symb_dl, mp.n_ofdm, mp.m_bit, st,
+                           use_pallas=up))
         raw[st] = slope(mib_body_for(run))
         results[f"mib_{st}_ms"] = round(raw[st], 3)
         note(f"mib_{st}_ms")

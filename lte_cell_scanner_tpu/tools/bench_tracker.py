@@ -214,7 +214,7 @@ def _device_bound(rec, counts, M, chunk, n_sym_s, signal_s):
 
     def step(c, _):
         flat, ce_dev = dem(da[0], da[1] + c, *da[2:])
-        flat2 = st(ce_dev, *stats_rest, n_seg)
+        flat2, _hist = st(ce_dev, *stats_rest, n_seg)
         big = jnp.float32(6e4)
         eps = ((flat.reshape(-1)[0].astype(jnp.float32) > big)
                | (flat2.reshape(-1)[0].astype(jnp.float32) > big))

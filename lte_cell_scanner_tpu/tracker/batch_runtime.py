@@ -38,8 +38,13 @@ display-only metrics or interpolation work that nothing consumes):
 - the TOE blend's wrap is taken relative to the cycle-start frame timing
   (exact whenever the within-cycle drift stays below a half frame, which
   tracking guarantees);
-- the ac_fd/ac_td diagnostics update once per cycle (weight-aggregated /
-  latest-history forms) instead of once per RS symbol;
+- the ac_fd/ac_td diagnostics update once per cycle instead of once per
+  RS symbol: ac_fd folds the cycle's inverse-variance weight sums into
+  the host IIR in one step (equal to the per-RS chain to first order in
+  sum(w)/1e5 — pinned by test_batch_engine_ac_diagnostics_match_host),
+  ac_td correlates the segment's last 72 consecutive raw-CE rows on
+  device (same lag axis as the host's per-row history; the skipped
+  intermediate updates move the w0 = 1e5 IIR by ~1e-5 each);
 - a PSS/SSS pair split across a cycle boundary skips its measurement
   (< 1% of sync-channel IIR updates at realistic cycle lengths).
 """
@@ -109,8 +114,6 @@ class _CellCtx:
         self.meta_carry = [_empty_meta() for _ in range(n_ports)]
         self.ce_carry = [np.zeros((0, 12), complex) for _ in range(n_ports)]
         self.filt_carry: List[Optional[dict]] = [None] * n_ports
-        self.hist = [np.zeros((0, 12), complex)
-                     for _ in range(n_ports)]    # ac_td 72-deep history
         self.backfilled = [False] * n_ports
         self.horizon = [-1] * n_ports      # seq of latest filtered CE
         self.interp_points: Dict[int, dict] = {}  # seq -> {port: (ce, vals)}
@@ -173,6 +176,11 @@ class BatchTrackerEngine:
         self._stream_end = 0
         self._dev_tables = None            # device RS/sync tables
         self._dev_key = None
+        # ac_td rolling raw-CE history: DEVICE-RESIDENT engine state
+        # (Cp, 72, 12, 2) f32 — updated by every stats dispatch, never
+        # fetched; counts gate the first IIR assignment at 72 rows
+        # (host contract: cell_tracker._do_ac_td's 72-deep FIFO).
+        self._td = None                    # {"key", "H", "count"}
 
     # ------------------------------------------------------------------
     def push_raw(self, raw_block: np.ndarray) -> None:
@@ -223,6 +231,34 @@ class BatchTrackerEngine:
             rs_conj_tab, shift_tab, pss_conj, sss_tab))
         self._dev_key = (key, P, c_pad)
         return self._dev_tables
+
+    # ------------------------------------------------------------------
+    def _td_align(self, work, C: int, P: int) -> None:
+        """Re-key the device-resident ac_td history to the current cell
+        set/buckets (device gather for retained cells, zeros + count 0
+        for new ones); no-op while the set is stable."""
+        key = (tuple(_key(c) for c, _ in work), P, C)
+        if self._td is not None and self._td["key"] == key:
+            return
+        Cp = C * P
+        count = np.zeros(Cp, np.int64)
+        if self._td is None:
+            H = jnp.zeros((Cp, 72, 12, 2), jnp.float32)
+        else:
+            old_keys, oldP, _ = self._td["key"]
+            old_index = {k: i for i, k in enumerate(old_keys)}
+            perm = np.full(Cp, -1, np.int64)
+            for ci, (cell, _) in enumerate(work):
+                oi = old_index.get(_key(cell))
+                if oi is not None:
+                    for port in range(min(P, oldP)):
+                        perm[ci * P + port] = oi * oldP + port
+            valid = perm >= 0
+            permc = np.where(valid, perm, 0)
+            H = jnp.where(jnp.asarray(valid)[:, None, None, None],
+                          self._td["H"][jnp.asarray(permc)], 0.0)
+            count[valid] = self._td["count"][permc[valid]]
+        self._td = {"key": key, "H": H, "count": count}
 
     # ------------------------------------------------------------------
     def process_all(self, cells: List[TrackedCell]) -> None:
@@ -365,9 +401,21 @@ class BatchTrackerEngine:
         for ci, (cell, pdus) in enumerate(work):
             self.ctx[_key(cell)].bpo = float(bpo[ci, len(pdus) - 1])
 
+        # Upload diet (see _dequant_plan): bpo as i16 turn fractions
+        # (wrapped to +-pi above, so the modular i16 wrap is exact),
+        # late as i16 2^-13-sample fixed point — half the plan bytes of
+        # two f32 lanes. A pathological lateness out of range falls
+        # back to the f32 variant rather than clipping.
+        q = np.round(bpo * (65536.0 / (2.0 * np.pi)))
+        bpo_u = ((q + 32768) % 65536 - 32768).astype(np.int16)
+        if np.abs(late).max(initial=0.0) < 3.99:
+            late_u = np.round(late * 8192.0).astype(np.int16)
+        else:                               # pragma: no cover - fallback
+            late_u = late.astype(np.float32)
+
         rs_conj_tab, shift_tab, pss_conj, sss_tab = self._tables(work, Cb)
-        common = (jnp.asarray(foc_rate), jnp.asarray(bpo.astype(np.float32)),
-                  jnp.asarray(late), rs_conj_tab, shift_tab,
+        common = (jnp.asarray(foc_rate), jnp.asarray(bpo_u),
+                  jnp.asarray(late_u), rs_conj_tab, shift_tab,
                   jnp.asarray(rs_idx), jnp.asarray(rs_slot),
                   jnp.asarray(rs_sym), jnp.asarray(keep_idx),
                   jnp.asarray(pair_idx), jnp.asarray(pair_sel),
@@ -544,10 +592,57 @@ class BatchTrackerEngine:
         emit_pad = np.zeros(E, np.int32)
         emit_pad[:len(emit_idx)] = emit_idx
 
-        flat = _stats_jit(cyc["ce_dev"], jnp.asarray(carry_vals),
-                          jnp.asarray(tri), jnp.asarray(pl),
-                          jnp.asarray(seg_id), jnp.asarray(emit_pad),
-                          jnp.asarray(carry_idx), C + 1)
+        # ac_td rolling-history plan: shift this cycle's newest
+        # min(72, n_rs) center rows into the device-resident history
+        # (right-aligned indices; see _stats_jit), and update the IIR
+        # once per cycle once a cell has accumulated the host's 72-row
+        # FIFO depth. On the CROSSING cycle the correlation window is
+        # planned to end exactly at the 72nd row ever (the host's first
+        # — and, under the w0 = 1e5 IIR, forever dominant — snapshot);
+        # afterwards it is the newest 72 rows. The skipped intermediate
+        # updates move the IIR by ~1e-5 each — invisible against the
+        # estimator's own noise.
+        self._td_align(work, C, P)
+        Cp = C * P
+        td_rows = np.zeros((Cp, 72), np.int32)
+        td_new = np.zeros(Cp, np.int32)
+        td0_rows = np.zeros((Cp, 72), np.int32)
+        td0_new = np.zeros(Cp, np.int32)
+        td0_sp = np.zeros(Cp, np.int32)
+        count = self._td["count"]
+        for ctx, ci, port, meta, t0, t1, ri_comb, n_keep in segments:
+            n_rs = t1 - t0
+            k = ci * P + port
+            n_new = min(72, n_rs)
+            if not n_new:
+                continue
+            td_rows[k, 72 - n_new:] = ri_comb[1 + n_rs - n_new:1 + n_rs]
+            td_new[k] = n_new
+            before = count[k]
+            count[k] += n_rs
+            if before < 72 <= count[k]:
+                # First snapshot: window ends at the 72nd row ever,
+                # i.e. after the first (72 - before) rows of this
+                # cycle's segment (the earlier rows sit in td_hist).
+                n0 = 72 - before
+                td0_rows[k, 72 - n0:] = ri_comb[1:1 + n0]
+                td0_new[k] = n0
+                td0_sp[k] = t0 + n0 - 1
+            else:
+                td0_rows[k] = td_rows[k]
+                td0_new[k] = n_new
+                td0_sp[k] = t1 - 1
+        td_ok = (td_new > 0) & (count >= 72)
+
+        flat, td_hist = _stats_jit(
+            cyc["ce_dev"], jnp.asarray(carry_vals),
+            jnp.asarray(tri), jnp.asarray(pl),
+            jnp.asarray(seg_id), jnp.asarray(emit_pad),
+            jnp.asarray(carry_idx), jnp.asarray(td_rows),
+            jnp.asarray(td_new), jnp.asarray(td0_rows),
+            jnp.asarray(td0_new), jnp.asarray(td0_sp),
+            self._td["H"], C + 1)
+        self._td["H"] = td_hist            # stays on device, never fetched
         try:
             # Start the D2H copy now; _stats_finish consumes it after
             # the demod ingestion has had its round trip. (The demod
@@ -556,7 +651,7 @@ class BatchTrackerEngine:
         except Exception:
             pass
         return dict(flat=flat, T=T, E=E, C=C, P=P, total=total,
-                    segments=segments, emit_idx=emit_idx)
+                    segments=segments, emit_idx=emit_idx, td_ok=td_ok)
 
     def _stats_finish(self, work, sp) -> None:
         """Dispatch 2 (finish half): fetch + the vectorized feedback
@@ -564,13 +659,14 @@ class BatchTrackerEngine:
         flat, T, E, C, P = sp["flat"], sp["T"], sp["E"], sp["C"], sp["P"]
         total, segments = sp["total"], sp["segments"]
         emit_idx = sp["emit_idx"]
-        (np_c, sp_c, foe_comb, foe_np, delay, delay_np, ce_filt_e, scal_e,
-         ac_sum, acw_sum, carry_out) = _unpack(flat, [
-             (T,), (T,), ("f32", (T, 2)), ("f32", (T,)),
+        (foe_ang, foe_np, delay, delay_np, ce_filt_e, scal_e,
+         ac_sum, acw_sum, carry_out, td_xc) = _unpack(flat, [
+             ("f32", (T,)), ("f32", (T,)),
              ("f32", (T,)), ("f32", (T,)),
              (E, 12, 2), (E, 4),
              ("f32", (C + 1, 12, 2)), ("f32", (C + 1, 12)),
-             (C, P, 2, 12, 2)])
+             (C, P, 2, 12, 2), (C * P, 72, 2)])
+        td_ok = sp["td_ok"]
 
         # Store next cycle's carry values (host side, robust to cell-set
         # changes between cycles).
@@ -596,8 +692,7 @@ class BatchTrackerEngine:
         kf = (state.fc_requested - fo_p) / state.fc_programmed
         dt = 0.0005 + (np.mod(ft_n - ft_p + _WRAP / 2, _WRAP) - _WRAP / 2) \
             / (state.fs_programmed * kf)
-        fcx = foe_comb[:total, 0] + 1j * foe_comb[:total, 1]
-        est = fo_p + np.angle(fcx) / (2 * np.pi) / dt
+        est = fo_p + foe_ang[:total].astype(np.float64) / (2 * np.pi) / dt
         est_np = np.maximum(foe_np[:total] / 2, 0.001)
         w_new = 1.0 / est_np
         alphas = w_new / (1e6 + w_new)      # prior_np = 1e-6
@@ -625,20 +720,22 @@ class BatchTrackerEngine:
                               emit_map)
             ctx.horizon[port] = int(meta["seq"][-2])
 
-            # ac_td: once per cycle from the latest 72-deep history
-            # (carry values only reach 2 rows; use host history of the
-            # fetched carry rows — updated from ce_carry each cycle).
-            ctx.hist[port] = np.concatenate(
-                [ctx.hist[port], ctx.ce_carry[port]])[-72:]
-            if len(ctx.hist[port]) == 72:
-                h = ctx.hist[port]
-                xc = (h[::-1] @ np.conj(h[-1])) / 12.0 \
-                    / max(float(sp_c[t1 - 1]), 1e-12)
-                if cell.ac_td is None:
-                    cell.ac_td = xc
-                else:
-                    w0 = 1e5
-                    cell.ac_td = (cell.ac_td * w0 + xc) / (w0 + 1)
+            # ac_td: once per cycle from the segment's last 72
+            # CONSECUTIVE raw-CE rows, correlated on device (_stats_jit
+            # td_xc) — lag measured in RS symbols exactly as the host's
+            # per-row history (cell_tracker._do_ac_td, reference
+            # src/tracker_thread.cpp:318-370). Cycles shorter than 72
+            # RS rows skip the update (the w0 = 1e5 IIR moves 1e-5 per
+            # update, far below the estimator's own noise).
+            k = ci * P + port
+            if td_ok[k]:
+                xc = td_xc[k, :, 0] + 1j * td_xc[k, :, 1]
+                if np.all(np.isfinite(xc)):
+                    if cell.ac_td is None:
+                        cell.ac_td = xc
+                    else:
+                        w0 = 1e5
+                        cell.ac_td = (cell.ac_td * w0 + xc) / (w0 + 1)
 
         # ---- per-cell AC diagnostics (aggregated on device).
         for ci, (cell, _) in enumerate(work):
@@ -657,7 +754,10 @@ class BatchTrackerEngine:
     def _emit_interp(self, ctx: _CellCtx, port: int, meta, t0, t1,
                      ce_filt_e, scal_e, emit_map) -> None:
         """Bracketing interpolation at the pending sync/PBCH symbols
-        covered by this cycle's filtered-CE pairs (fetched emit rows)."""
+        covered by this cycle's filtered-CE pairs (fetched emit rows) —
+        vectorized over the candidate symbols (the per-symbol Python
+        loop was the engine's single largest host cost at production
+        cell counts; same bracket choices, fractions and matrices)."""
         cell = ctx.cell
         fseq = meta["seq"][1:-1]
         fshift = meta["shift"][1:-1]
@@ -678,29 +778,67 @@ class BatchTrackerEngine:
         first = not ctx.backfilled[port]
         lo_seq = int(carry["seq"]) if carry is not None else int(fseq[0])
         hi_seq = int(fseq[-1])
-        cand = [(s, slot, sym) for (s, slot, sym, _) in ctx.pending
+        cand = [s for (s, _slot, _sym, _) in ctx.pending
                 if s < hi_seq and (s >= lo_seq or first)]
-        for s, slot, sym in cand:
+        if cand:
             ctx.backfilled[port] = True
-            if carry is not None and s < int(fseq[0]):
-                prev, nxt = carry, filt_at(0)
-            elif s < int(fseq[0]):                  # backfill (a = 0)
-                prev, nxt = filt_at(0), filt_at(min(1, n_f - 1))
-            else:
-                j = int(np.clip(np.searchsorted(fseq, s, "right") - 1,
-                                0, max(0, n_f - 2)))
-                prev, nxt = filt_at(j), filt_at(min(j + 1, n_f - 1))
-            if prev is None or nxt is None:
-                continue
-            steps = s - prev["seq"]
-            a = 0.0 if steps < 0 else _a_value(
-                cell.cp_type, port, prev["sym"], int(steps))
-            ce_p = _interp72_mat(prev["shift"]) @ prev["ce_filt"]
-            ce_n = _interp72_mat(nxt["shift"]) @ nxt["ce_filt"]
-            ce = ce_p * (1 - a) + ce_n * a
-            vals = {k: float(prev[k] * (1 - a) + nxt[k] * a)
-                    for k in ("tp", "sp", "sp_raw", "np_")}
-            ctx.interp_points.setdefault(int(s), {})[port] = (ce, vals)
+            sv = np.asarray(cand, np.int64)
+            # Bracket rows per candidate (same selection as the former
+            # per-symbol code): carry row for pre-window symbols when a
+            # carry exists, else backfill from row 0 (a = 0).
+            j = np.clip(np.searchsorted(fseq, sv, "right") - 1, 0,
+                        max(0, n_f - 2))
+            pre = sv < int(fseq[0])
+            jp = np.where(pre, 0, j)
+            jn = np.where(pre, min(1, n_f - 1) if carry is None else 0,
+                          np.minimum(j + 1, n_f - 1))
+            use_carry = pre if carry is not None else np.zeros_like(pre)
+
+            # Emit-row values per bracket row (rows are all in the emit
+            # set by construction; a missing row voids its candidates).
+            row_of = {int(x): emit_map.get(t0 + int(x), -1)
+                      for x in np.unique(np.concatenate([jp, jn]))}
+            ip = np.array([row_of[int(x)] for x in jp])
+            in_ = np.array([row_of[int(x)] for x in jn])
+            ok = (ip >= 0) & (in_ >= 0)
+
+            ce_rows = ce_filt_e[..., 0] + 1j * ce_filt_e[..., 1]  # (E,12)
+            m6 = np.stack([_interp72_mat(s6) for s6 in range(6)])
+            p_ce = ce_rows[ip]
+            p_shift = fshift[jp].astype(np.int64)
+            p_sym = fsym[jp].astype(np.int64)
+            p_seq = fseq[jp].astype(np.int64)
+            p_scal = scal_e[ip]                       # (N, 4)
+            if carry is not None and use_carry.any():
+                p_ce[use_carry] = carry["ce_filt"]
+                p_shift[use_carry] = carry["shift"]
+                p_sym[use_carry] = carry["sym"]
+                p_seq[use_carry] = carry["seq"]
+                p_scal[use_carry] = [carry["tp"], carry["sp"],
+                                     carry["sp_raw"], carry["np_"]]
+            n_ce = ce_rows[in_]
+            n_shift = fshift[jn].astype(np.int64)
+            n_scal = scal_e[in_]
+
+            steps = sv - p_seq
+            a = np.zeros(len(sv))
+            for key in set(zip(p_sym.tolist(), steps.tolist())):
+                if key[1] >= 0:
+                    sel = (p_sym == key[0]) & (steps == key[1])
+                    a[sel] = _a_value(cell.cp_type, port, int(key[0]),
+                                      int(key[1]))
+            ce_p = np.einsum("nij,nj->ni", m6[p_shift], p_ce)
+            ce_n = np.einsum("nij,nj->ni", m6[n_shift], n_ce)
+            ce_all = ce_p * (1 - a)[:, None] + ce_n * a[:, None]
+            v_all = p_scal * (1 - a)[:, None] + n_scal * a[:, None]
+            pts = ctx.interp_points
+            for i, s in enumerate(cand):
+                if not ok[i]:
+                    continue
+                vals = {"tp": float(v_all[i, 0]), "sp": float(v_all[i, 1]),
+                        "sp_raw": float(v_all[i, 2]),
+                        "np_": float(v_all[i, 3])}
+                pts.setdefault(int(s), {})[port] = (ce_all[i], vals)
         # carry the last filt row (always in the emit set)
         last = filt_at(n_f - 1)
         if last is not None:
@@ -905,10 +1043,24 @@ def _demod_tail(syms, rs_conj_tab, shift_tab, rs_idx, rs_slot, rs_sym,
     return flat, ce
 
 
+def _dequant_plan(bpo, late):
+    """Link-compressed demod plan lanes (upload diet): the engine ships
+    the wrapped bulk phase as i16 turn fractions (2pi/65536 ~ 1e-4 rad,
+    exact modular wraparound) and the fractional lateness as i16
+    2^-13-sample fixed point; f32 inputs (tests, replay harnesses) pass
+    through unchanged."""
+    if bpo.dtype == jnp.int16:
+        bpo = bpo.astype(jnp.float32) * np.float32(2.0 * np.pi / 65536.0)
+    if late.dtype == jnp.int16:
+        late = late.astype(jnp.float32) * np.float32(1.0 / 8192.0)
+    return bpo, late
+
+
 @jax.jit
-def _demod_jit(data, *args):
+def _demod_jit(data, foc_rate, bpo, late, *args):
     data = (data.astype(jnp.float32) - 127.0) * (1.0 / 128.0)
-    return _demod_core(data, *args)
+    bpo, late = _dequant_plan(bpo, late)
+    return _demod_core(data, foc_rate, bpo, late, *args)
 
 
 @jax.jit
@@ -919,6 +1071,7 @@ def _demod_stream_jit(seg, starts, foc_rate, bpo, late, *args):
     fractional-timing ramp as late - b)."""
     from lte_cell_scanner_tpu.ops.sync_jax import _aligned_wins
 
+    bpo, late = _dequant_plan(bpo, late)
     x = (seg.astype(jnp.float32) - 127.0) * (1.0 / 128.0)   # (L, 2)
     g, j, b = _aligned_wins(x, starts)                      # (C,S,128,2)
     return _demod_core(g, foc_rate, bpo,
@@ -937,6 +1090,7 @@ def _demod_stream_pallas_jit(seg_u8, starts, foc_rate, bpo, late, *args,
     from lte_cell_scanner_tpu.ops.fd_demod_pallas import (fd_demod_pallas,
                                                           planar_rows)
 
+    bpo, late = _dequant_plan(bpo, late)
     C, S = starts.shape
     yr, yi, yr2, yi2, b = planar_rows(seg_u8, starts.reshape(-1))
     syms = fd_demod_pallas(
@@ -948,6 +1102,7 @@ def _demod_stream_pallas_jit(seg_u8, starts, foc_rate, bpo, late, *args,
 
 @functools.partial(jax.jit, static_argnames=("n_seg",))
 def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
+               td_rows, td_new, td0_rows, td0_new, td0_sp, td_hist,
                n_seg):
     rows = jnp.concatenate([carry_vals.reshape(-1, 12, 2),
                             ce_dev.reshape(-1, 12, 2)])
@@ -958,6 +1113,36 @@ def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
     foe_comb, foe_np = bf.foe_stats_batch(cp, cn, ce_filt, np_c)
     delay, delay_np = bf.toe_stats_batch(cp, cc, sp_c, np_c, pl)
     ac, ac_np = bf.ac_fd_batch(cc, sp_c, np_c)
+
+    # ac_td over 72 CONSECUTIVE raw-CE rows per (cell, port) (host
+    # contract: cell_tracker._do_ac_td, reference
+    # src/tracker_thread.cpp:318-370 do_ac_td — a carry-row-decimated
+    # history would measure lag in CYCLES, not RS symbols, a materially
+    # different coherence profile). The rolling history td_hist
+    # (Cp, 72, 12, 2) is DEVICE-RESIDENT engine state (never fetched):
+    # each cycle shifts in the segment's newest min(72, n_rs) center
+    # rows — td_rows (Cp, 72) right-aligned combined-row indices,
+    # td_new (Cp,) the count. The CORRELATION window is planned
+    # separately (td0_rows/td0_new/td0_sp): normally the same newest
+    # rows, but on the cycle where a cell first accumulates 72 rows the
+    # host plans the window that ends exactly at its 72nd row — the
+    # w0 = 1e5 IIR is dominated by this first snapshot forever, so
+    # matching its exact window is what makes the two planes agree.
+    def shift_in(rows_idx, n_new):
+        seg = rows[rows_idx]                          # (Cp, 72, 12, 2)
+        k = jnp.arange(72, dtype=jnp.int32)[None, :]  # (1, 72)
+        shift_idx = jnp.clip(k + n_new[:, None], 0, 71)
+        h_shift = jnp.take_along_axis(td_hist, shift_idx[..., None, None],
+                                      axis=1)
+        return jnp.where((k + n_new[:, None] < 72)[..., None, None],
+                         h_shift, seg)                # (Cp, 72, 12, 2)
+
+    new_h = shift_in(td_rows, td_new)
+    xc_win = shift_in(td0_rows, td0_new)
+    last = xc_win[:, 71]
+    prod = bf._cmul(bf._cconj(last[:, None]), xc_win[:, ::-1])
+    td_xc = jnp.mean(prod, axis=2) / jnp.maximum(
+        sp_c[td0_sp], 1e-30)[:, None, None]           # (Cp, 72, 2)
 
     # AC aggregation per cell (diagnostics; weight-summed on device).
     # Rows with degenerate power (padding, all-zero windows) produce
@@ -980,10 +1165,15 @@ def _stats_jit(ce_dev, carry_vals, tri, pl, seg_id, emit_idx, carry_idx,
     # ac_sum/acw_sum travel losslessly: at very high SNR the 1/ac_np
     # weights exceed the f16 max (65504) and a plain-f16 fetch would
     # overflow to inf, turning the host ac_fd blend into NaN.
-    return _pack(np_c, sp_c, ("f32", foe_comb), ("f32", foe_np),
+    # Link diet (the stats fetch rides the slow D2H direction): the
+    # per-triple np/sp lanes have no host consumer (scal_e carries them
+    # for the emit rows), and the FOE feedback consumes only the ANGLE
+    # of the combined estimate — 4 fewer f16 lanes per triple.
+    foe_ang = jnp.arctan2(foe_comb[:, 1], foe_comb[:, 0])
+    return _pack(("f32", foe_ang), ("f32", foe_np),
                  ("f32", delay), ("f32", delay_np),
                  ce_filt_e, scal_e, ("f32", ac_sum), ("f32", acw_sum),
-                 carry_out)
+                 carry_out, td_xc), new_h
 
 
 # ----------------------------------------------------------------------

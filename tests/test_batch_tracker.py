@@ -49,6 +49,35 @@ def test_batch_engine_matches_host_tracker(sim_signal):
     np.testing.assert_allclose(d.crs_tp_av, h.crs_tp_av, rtol=0.05)
 
 
+def test_batch_engine_ac_diagnostics_match_host(sim_signal):
+    """Pin the engine's cycle-granular AC diagnostics against the host
+    tracker's per-RS-symbol IIR (reference accumulates do_ac_fd/do_ac_td
+    per RS symbol, src/tracker_thread.cpp:318-370; the engine folds each
+    cycle's inverse-variance weight sums into the same IIR once per
+    cycle and correlates the last 72 consecutive raw-CE rows on device
+    — batch_runtime.py scope notes). Bounds the documented divergence:
+    ac_fd equals the host chain to first order in sum(w)/1e5, ac_td to
+    the estimator noise of the skipped 1e-5-weight updates."""
+    host = LTETracker(739e6, initial_freq_offset=4000.0)
+    dev = LTETracker(739e6, initial_freq_offset=4000.0, batch=True)
+    host.run(playback_source(sim_signal), max_blocks=300)
+    dev.run(playback_source(sim_signal), max_blocks=300)
+    h, d = host.cells[0], dev.cells[0]
+    assert h.ac_fd is not None and d.ac_fd is not None
+    assert h.ac_td is not None and d.ac_td is not None
+    scale_fd = np.abs(h.ac_fd[0])           # lag-0 autocorr ~ 1
+    assert abs(scale_fd - 1.0) < 0.25
+    assert np.abs(h.ac_fd - d.ac_fd).max() < 0.05 * scale_fd
+    scale_td = np.abs(h.ac_td[0])
+    assert abs(scale_td - 1.0) < 0.25
+    # The w0 = 1e5 IIR is dominated by the FIRST 72-row snapshot, which
+    # the engine plans to end at exactly the host's 72nd row — so the
+    # full complex profile must agree; the residual is the engine's
+    # once-per-cycle (vs per-RS-row) cadence of the ~1e-5-weight
+    # follow-up nudges plus the f16 fetch (measured 0.02).
+    assert np.abs(h.ac_td - d.ac_td).max() < 0.05 * scale_td
+
+
 def test_batch_engine_drop_and_reacquire(sim_signal):
     events = []
     trk = LTETracker(739e6, initial_freq_offset=4000.0, batch=True,

@@ -94,6 +94,44 @@ def test_mib_deferred_fetch_identical(real_peaks):
         [], cap, fc, fc, 1.92e6, defer=True)) == []
 
 
+def test_mib_pallas_fused_extract_matches_xla(real_peaks):
+    """The Pallas-fused extract_tfg (ops/fd_demod_pallas via
+    _build_mib_device(use_pallas=True)) decodes the same cells as the
+    XLA formulation — same MIB fields, same residual FOE to f32 noise
+    (on TPU the two are bit-identical: same ops, same order, same MXU
+    dots; interpret mode on CPU differs only in scalar math)."""
+    import jax.numpy as jnp
+
+    from lte_cell_scanner_tpu.ops.mib_jax import (MibPending,
+                                                  _dev_cell_tables,
+                                                  _mib_device,
+                                                  finish_mib_batch,
+                                                  mib_plan)
+
+    cap, fc, peaks = real_peaks
+    synced = sss_foe_batch(peaks, cap, fc, fc, 1.92e6, THRESH2_N_SIGMA)
+    alive = [c for c in synced if c.n_id_1 >= 0]
+    assert alive
+    plan = mib_plan(alive, len(cap), fc, fc, 1.92e6)
+    cap_dev = jnp.asarray(
+        np.stack([cap.real, cap.imag], -1).astype(np.float32))
+    rs, sh, sc = _dev_cell_tables(alive[0].cp_type)
+    args = (cap_dev, plan.start0, plan.sdelta, plan.phase0_q, plan.inwin,
+            plan.late_q, plan.base, plan.n_id, rs, sh, sc,
+            plan.omk_base, plan.inv_fcp)
+    out_x = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit)(*args)
+    out_p = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
+                        use_pallas=True, interpret=True)(*args)
+    cells_x = finish_mib_batch(MibPending(out_x, plan, list(alive)))
+    cells_p = finish_mib_batch(MibPending(out_p, plan, list(alive)))
+    assert len(cells_p) == len(cells_x)
+    for a, b in zip(cells_x, cells_p):
+        assert a.n_rb_dl == b.n_rb_dl == 50
+        assert (a.n_ports, a.sfn, a.phich_duration, a.phich_resource) \
+            == (b.n_ports, b.sfn, b.phich_duration, b.phich_resource)
+        assert abs(a.freq_superfine - b.freq_superfine) < 0.5
+
+
 def test_mib_plan_link_compression(real_peaks):
     """The link-compressed MibPlan round-trips: the u8 deltas rebuild
     the host's f64-rounded integer starts EXACTLY, the i16 fixed-point
