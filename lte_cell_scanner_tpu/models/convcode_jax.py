@@ -32,6 +32,47 @@ def _tables():
     return signs, pred0, in_bit
 
 
+_K = 4          # trellis steps fused per joint-pass scan iteration
+
+
+@functools.lru_cache(maxsize=4)
+def _chain_tables(k: int):
+    """k-step trellis chains, laid out GATHER-FREE (TPU: a vmapped
+    gather is scalar-bound; both structures below are pure arithmetic):
+
+    - the predecessor k steps back of state s along chain j is
+      ``((s << k) & 63) | j`` (the shift register drops s's top k bits
+      and exposes the chain's k input bits as its low bits), so the
+      (64, 2^k) metric lookup is a reshape + tile, no index table;
+    - the k branch metrics' sum is LINEAR in the k*3 LLRs, so it ships
+      as one (k*3, 64*2^k) matrix A: add = llr_flat @ A on the MXU.
+
+    Also returns BITS (64, 2^k, k): the decoded input bits of chain j
+    ending at s, in forward time order (for the fused traceback).
+
+    Fusing k steps cuts the joint pass's dominant (B, 64, 64) metric
+    HBM traffic and the replay/traceback scans' fixed per-step latency
+    k-fold; the 2^k-way max fuses into the same pass."""
+    signs, pred0, in_bit = _tables()
+    signs_flat = signs.reshape(2 * N_STATES, 3)           # (128, 3)
+    A = np.zeros((k * 3, N_STATES * 2 ** k), np.float32)
+    BITS = np.zeros((N_STATES, 2 ** k, k), np.int32)
+    for s in range(N_STATES):
+        for j in range(2 ** k):
+            cur = s
+            for i in range(k):              # walk back from the newest
+                # chain j's input bits are the predecessor's low bits:
+                # the bit consumed at walk-back step i is j's (k-1-i)-th.
+                p = pred0[cur] + ((j >> (k - 1 - i)) & 1)
+                step = k - 1 - i            # forward time within chunk
+                A[step * 3:(step + 1) * 3, s * 2 ** k + j] += \
+                    signs_flat[p * 2 + in_bit[cur]]
+                BITS[s, j, step] = in_bit[cur]
+                cur = p
+            assert cur == ((s << k) & (N_STATES - 1)) | j
+    return A, BITS
+
+
 def _decode_one(d_llr):
     """(3, n) LLR ln(P0/P1) -> (n,) bits. Jittable; vmapped by the batch
     wrapper.
@@ -53,6 +94,57 @@ def _decode_one(d_llr):
                     dtype=jnp.float32).at[
         jnp.arange(N_STATES), jnp.arange(N_STATES)].set(0.0)
 
+    n = llrs.shape[0]
+    if n % _K == 0:
+        # Fused k-step passes (see _chain_tables): the joint pass's
+        # (64, 64) metric traffic AND the replay/traceback scans' fixed
+        # per-step latency both drop k-fold — with NO gathers: the
+        # metric lookup is a reshape + tile and the branch-metric sums
+        # are one (k*3) @ (k*3, 64*2^k) MXU matmul.
+        A_np, BITS_np = _chain_tables(_K)
+        A, BITS = jnp.asarray(A_np), jnp.asarray(BITS_np)
+        llrs_k = llrs.reshape(-1, _K * llrs.shape[1])
+        JK = 2 ** _K
+        G = N_STATES // JK           # metric column groups (s % G picks)
+        rep = N_STATES // G
+
+        def adds3(llr_flat):
+            """(rep, G, JK) branch-metric sums: row s = r*G + g of the
+            (64, 2^K) table (state s's 2^K predecessors are column group
+            g = s % G of the metric, ((s << K) & 63) | j)."""
+            return (llr_flat @ A).reshape(rep, G, JK)
+
+        # All expansion by BROADCAST (a tile/gather would materialize —
+        # or worse, scalar-loop — the (.., 64, 2^K) candidate tensor;
+        # broadcast + max fuses into one VPU pass).
+        def fwd(metric, llr_flat):
+            cand = metric.reshape(N_STATES, 1, G, JK) + adds3(llr_flat)
+            return jnp.max(cand, axis=-1).reshape(N_STATES, N_STATES), \
+                None
+
+        metric, _ = jax.lax.scan(fwd, init, llrs_k)
+        start = jnp.argmax(jnp.diagonal(metric)).astype(jnp.int32)
+
+        init1 = jnp.full((N_STATES,), -jnp.inf, dtype=jnp.float32).at[
+            start].set(0.0)
+
+        def fwd1(m, llr_flat):
+            cand = m.reshape(1, G, JK) + adds3(llr_flat)  # (rep, G, JK)
+            j = jnp.argmax(cand, axis=-1).astype(jnp.int32)
+            return (jnp.max(cand, axis=-1).reshape(N_STATES),
+                    j.reshape(N_STATES))
+
+        _, bps = jax.lax.scan(fwd1, init1, llrs_k)        # (n/K, 64)
+
+        def back(state, j_t):
+            j = j_t[state]
+            prev = ((state << _K) & (N_STATES - 1)) | j
+            return prev, BITS[state, j]                   # (K,) fwd order
+
+        _, bits = jax.lax.scan(back, start, bps, reverse=True)
+        return bits.reshape(-1).astype(jnp.int32)
+
+    # pragma: no cover - lengths not divisible by the fused step
     def fwd(metric, llr_t):
         bm = signs @ llr_t                                # (64, 2)
         m0 = metric[:, pred0] + bm[pred0, in_bit]
