@@ -164,12 +164,17 @@ def main():
         PROF["sync_plan_dispatch"] += time.time() - t0
         return sp, bases_c, cap_flat
 
-    def mib_dispatch_batch(sp, bases_c, cap_flat):
-        """Collect the sync fetch, plan + dispatch the MIB decode; its
-        own fetch stays deferred (collect via finish_batch)."""
+    def collect_sync(sp, bases_c, cap_flat):
+        """Fetch the deferred sync results (a D2H round trip — keep it
+        OFF the link while an upload is in flight)."""
         t0 = time.time()
         synced = finish_sync_batch(sp)
         PROF["sync_fetch"] += time.time() - t0
+        return synced, bases_c, cap_flat
+
+    def mib_dispatch_synced(synced, bases_c, cap_flat):
+        """Plan + dispatch the MIB decode from collected sync results;
+        its own fetch stays deferred (collect via finish_batch)."""
         t0 = time.time()
         alive = [(c, base) for c, base in zip(synced, bases_c)
                  if c.n_id_1 >= 0]
@@ -183,6 +188,10 @@ def main():
                     cap_bases=[g for _, g in grp], defer=True))
         PROF["mib_plan_dispatch"] += time.time() - t0
         return pendings
+
+    def mib_dispatch_batch(sp, bases_c, cap_flat):
+        """Collect the sync fetch, plan + dispatch the MIB decode."""
+        return mib_dispatch_synced(*collect_sync(sp, bases_c, cap_flat))
 
     def decode_batch_dispatch(tables, cap_flat):
         """Host tail for one scanned batch: sync dispatch + immediate
@@ -249,19 +258,34 @@ def main():
         full_times.append(time.time() - t0)
 
     # Pipelined sweep: the production fc sweep as a software pipeline.
-    # An uploader thread keeps the host->device byte stream (the
-    # dominant cost on any PCIe/tunnel link) running TWO batches ahead;
-    # the main thread's per-batch critical path is
-    #   fetch scan tables(i) -> sync dispatch(i) [+fetch]
-    #   -> collect older deferred MIB results -> MIB dispatch
-    #   -> dispatch scan(i+1),
-    # so batch i's decode chain overlaps batch i+1's upload, and batch
-    # i's MIB fetch overlaps batch i+1's scan. With defer_sync the sync
-    # fetch too is collected a batch later (3-deep; one fewer blocking
-    # round trip per batch, one batch more latency). Steady-state
-    # throughput, not latency; the pipeline-fill upload of batch 0 is
-    # outside the timed region.
+    # The link is HALF-DUPLEX in practice (an in-flight multi-MB upload
+    # blocks every D2H fetch for its full duration — measured as the
+    # dominant term of the r3 schedule's per-batch cost), so the
+    # schedule drains EVERY pending fetch first, then starts the next
+    # upload, then issues the (async) decode dispatches under it:
+    #   fetch scan tables(i); collect deferred MIB(i-2) + sync(i-1)
+    #   -> submit upload(i+1)  [uploader thread, CHUNKED: the tunnel
+    #      moves ~40% more bytes/s in ~2.5 MB pieces, and small plan
+    #      uploads interleave between chunks]
+    #   -> dispatch sync(i) and MIB(i-1)  [overlap the upload]
+    #   -> join upload, dispatch scan(i+1).
+    # With defer_sync=False the sync fetch happens in-batch (2-deep:
+    # one more blocking round trip per batch, one batch less latency).
+    # Steady-state throughput, not latency; the pipeline-fill upload of
+    # batch 0 is outside the timed region.
     from concurrent.futures import ThreadPoolExecutor
+
+    UP_CHUNKS = int(os.environ.get("LTE_BENCH_UP_CHUNKS", "8"))
+
+    def put_chunked(a):
+        """Chunked host->device upload (see schedule note above)."""
+        n = UP_CHUNKS
+        if n <= 1 or a.shape[0] % n:
+            return jax.device_put(a)
+        step = a.shape[0] // n
+        parts = [jax.device_put(a[i * step:(i + 1) * step])
+                 for i in range(n)]
+        return jnp.concatenate(parts, axis=0)
 
     def _async_copy(a):
         try:
@@ -275,46 +299,50 @@ def main():
         batches (a tunnel stall poisons ONE batch sample, not the
         median — VERDICT r3 item 1), plus the per-stage attribution."""
         with ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(jax.device_put, u8)
-            dev = fut.result()
+            dev = put_chunked(u8)           # pipeline fill (untimed)
             scan_out = scan_jit(dev)        # async dispatch
             _async_copy(scan_out)
             flat = to_flat(dev)             # async dispatch
-            fut = ex.submit(jax.device_put, u8)
             PROF.clear()
             t0 = time.time()
             stamps = []
-            sync_prev = None    # (sp, bases, flat) awaiting MIB dispatch
+            sync_prev = None    # (sp, bases, flat) awaiting sync fetch
             mib_prev = None     # MIB pendings awaiting collection
             last = None
+            fut = None
             for i in range(REPS):
+                # ---- fetch phase (link free of uploads).
                 t1 = time.time()
                 tables = np.asarray(scan_out, dtype=np.float64)
                 PROF["tables_fetch"] += time.time() - t1
+                if mib_prev is not None:
+                    last = finish_batch(mib_prev)
+                    mib_prev = None
+                synced = None
+                if defer_sync and sync_prev is not None:
+                    synced = collect_sync(*sync_prev)
+                # ---- upload phase (chunked, in the uploader thread).
+                if i + 1 < REPS:
+                    fut = ex.submit(put_chunked, u8)
+                # ---- dispatch phase (async; overlaps the upload).
                 if defer_sync:
                     sp_i = sync_dispatch_batch(tables, flat)
-                    if mib_prev is not None:
-                        last = finish_batch(mib_prev)
-                        mib_prev = None
-                    if sync_prev is not None:
-                        mib_prev = mib_dispatch_batch(*sync_prev)
+                    if synced is not None:
+                        mib_prev = mib_dispatch_synced(*synced)
                     sync_prev = sp_i
                 else:
-                    pend = decode_batch_dispatch(tables, flat)
-                    if mib_prev is not None:
-                        last = finish_batch(mib_prev)
-                    mib_prev = pend
+                    # 2-deep: the in-batch sync fetch rides between the
+                    # upload's chunks (one blocking round trip).
+                    mib_prev = decode_batch_dispatch(tables, flat)
                 if i + 1 < REPS:
                     t1 = time.time()
-                    dev = fut.result()      # upload normally done by now
+                    dev = fut.result()
                     PROF["upload_wait"] += time.time() - t1
                     t1 = time.time()
                     scan_out = scan_jit(dev)  # device starts scan(i+1)
                     _async_copy(scan_out)
                     flat = to_flat(dev)
                     PROF["scan_dispatch"] += time.time() - t1
-                    if i + 2 < REPS:
-                        fut = ex.submit(jax.device_put, u8)
                 stamps.append(time.time())
             # Steady-state per-batch samples; the pipeline-drain tail
             # below is outside them (it repays the pipeline fill, not
@@ -466,6 +494,9 @@ def main():
                      "samples_per_sec_2host":
                          mh["samples_per_sec_nhost_total"],
                      "comm_s": mh["t_comm_s"]}
+        if "scaling_samples_discarded_run" in mh:
+            multihost["scaling_samples_discarded_run"] = \
+                mh["scaling_samples_discarded_run"]
     except Exception:  # pragma: no cover - keep the headline alive
         multihost = None
     res["multihost"] = multihost

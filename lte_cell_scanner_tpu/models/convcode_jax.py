@@ -116,7 +116,10 @@ def _decode_one(d_llr):
 
         # All expansion by BROADCAST (a tile/gather would materialize —
         # or worse, scalar-loop — the (.., 64, 2^K) candidate tensor;
-        # broadcast + max fuses into one VPU pass).
+        # broadcast + max fuses into one VPU pass). Keeping per-step
+        # argmax stacks out of the joint pass measured 2x SLOWER (the
+        # argmax defeats the fused max reduction), so the ML path is
+        # recovered by the cheap (64,)-metric single-start replay.
         def fwd(metric, llr_flat):
             cand = metric.reshape(N_STATES, 1, G, JK) + adds3(llr_flat)
             return jnp.max(cand, axis=-1).reshape(N_STATES, N_STATES), \

@@ -145,7 +145,9 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
             share_banks=share_banks)
         c.flat = to_flat(dev)
 
-    def stage_sync(c: _Chunk):
+    def stage_tables(c: _Chunk):
+        """Fetch the scan tables + host peak planning (a D2H round
+        trip — runs in the fetch phase, before the next upload)."""
         # Only the n_real rows are converted (padded repeats would waste
         # a host-rescan fallback); the captures go as a lazy accessor so
         # the rare fallback doesn't cost a multi-MB copy per chunk.
@@ -160,14 +162,18 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
             for cell in peaks[b]:
                 c.cells.append(cell)
                 c.bases.append(b * n_cap)
+
+    def stage_sync_dispatch(c: _Chunk):
         c.sync_pending = sss_foe_batch(
             c.cells, None, 0.0, 0.0, fs_programmed, thresh2_n_sigma,
             cap_dev=c.flat, n_cap=n_cap, cap_bases=c.bases,
             defer=defer_sync)
 
+    def stage_sync_collect(c: _Chunk):
+        c.sync_pending = finish_sync_batch(c.sync_pending)
+
     def stage_mib(c: _Chunk):
-        synced = (finish_sync_batch(c.sync_pending) if defer_sync
-                  else c.sync_pending)
+        synced = c.sync_pending       # collected (or non-deferred) cells
         c.sync_pending = None
         alive = [(cell, base) for cell, base in zip(synced, c.bases)
                  if cell.n_id_1 >= 0]
@@ -192,30 +198,47 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
         c.mib_pendings = c.mib_groups = None
 
     # Stage order within an iteration follows the measured-fastest
-    # schedule of bench.py's pipelined loop: run the decode chain of
-    # the chunks already scanned FIRST (their fetches must not queue
-    # behind the next multi-MB upload on a serialized link), then
-    # dispatch the next scan and start the upload after that one.
+    # schedule of bench.py's pipelined loop: the link is HALF-DUPLEX in
+    # practice (an in-flight multi-MB upload blocks every D2H fetch for
+    # its full duration), so each iteration drains EVERY pending fetch
+    # first, then starts the next chunk's upload (CHUNKED: the tunnel
+    # moves ~40% more bytes/s in ~2.5 MB pieces, and the decode plans'
+    # small uploads interleave between pieces), then issues the async
+    # decode dispatches under it.
     with ThreadPoolExecutor(1) as ex:
         def put(ci):
-            return jax.device_put(jnp.asarray(capbufs[chunks[ci].idx]),
-                                  shard)
+            a = jnp.asarray(capbufs[chunks[ci].idx])
+            step = a.shape[0] // 8
+            if step and a.shape[0] % 8 == 0 and step % n_shards == 0:
+                parts = [jax.device_put(a[k * step:(k + 1) * step],
+                                        shard) for k in range(8)]
+                return jnp.concatenate(parts, axis=0)
+            return jax.device_put(a, shard)
 
         stage_scan(chunks[0], put(0))    # pipeline fill (untimed in bench)
-        fut = ex.submit(put, 1) if n_chunks > 1 else None
+        fut = None
         for i in range(n_chunks + depth - 1):
+            # ---- fetch phase (no upload in flight).
             if i < n_chunks:
-                stage_sync(chunks[i])
-                if not defer_sync:
-                    stage_mib(chunks[i])
+                stage_tables(chunks[i])
             if defer_sync and 0 <= i - 1 < n_chunks:
-                stage_mib(chunks[i - 1])
+                stage_sync_collect(chunks[i - 1])
             j = i - (depth - 1)
             if 0 <= j < n_chunks:
                 stage_collect(chunks[j])
+            # ---- upload phase (uploader thread).
+            if i + 1 < n_chunks:
+                fut = ex.submit(put, i + 1)
+            # ---- dispatch phase (async; overlaps the upload).
+            if i < n_chunks:
+                stage_sync_dispatch(chunks[i])
+                if not defer_sync:
+                    # 2-deep: the in-batch sync fetch rides between the
+                    # upload's pieces (one blocking round trip).
+                    stage_mib(chunks[i])
+            if defer_sync and 0 <= i - 1 < n_chunks:
+                stage_mib(chunks[i - 1])
             if i + 1 < n_chunks:
                 stage_scan(chunks[i + 1], fut.result())
-                fut = (ex.submit(put, i + 2)
-                       if i + 2 < n_chunks else None)
 
     return per_cap, (dedup(all_good) if dedup_cells else all_good)
