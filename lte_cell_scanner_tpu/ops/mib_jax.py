@@ -823,6 +823,8 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
         flat = d_llr.reshape(-1, 3, 40)
         bits = jax.vmap(_decode_one)(flat.astype(jnp.float32))
         bits = bits.reshape(llr.shape[0], 4, 3, 40)
+        if stage == "vit":
+            return _cut(bits)
         crc_est = (bits[..., :24] @ crc_m) % 2           # (B, 4, 3, 16)
         crc_est = crc_est ^ crc_masks[None, None, :, :]
         ok = jnp.all(crc_est == bits[..., 24:40], axis=-1)  # (B, 4, 3)

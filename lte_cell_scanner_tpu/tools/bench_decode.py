@@ -30,7 +30,8 @@ import time
 
 import numpy as np
 
-STAGES = ("wins", "tfg", "tfoec", "toe", "chanest", "pbch", "llr", "full")
+STAGES = ("wins", "tfg", "tfoec", "toe", "chanest", "pbch", "llr", "vit",
+          "full")
 
 
 def _get_capture():
