@@ -25,7 +25,7 @@ from typing import List
 
 import numpy as np
 
-from lte_cell_scanner_tpu.tracker.display import ascii_plot
+from lte_cell_scanner_tpu.tracker.display import ascii_plot, plot_trace
 
 VIEWS = ("summary", "ce_mag", "ce_phase", "ac_fd", "ac_td", "sync")
 HELP = [
@@ -125,36 +125,58 @@ def render_frame(tracker, ui: UIState, width: int = 78) -> List[str]:
 
 
 def _detail_view(cell, view: str, width: int) -> List[str]:
-    w = min(width - 2, 64)
+    """Scaled plot_trace views with the reference UI's fixed ranges
+    (src/display_thread.cpp:597-757): CE magnitude -50..0 dB / phase
+    +-40 deg with a mean-angle supermark, AC plots on the reference's
+    delay-spread / Doppler axes."""
+    w = min(width - 2, 77)
     nid = cell.n_id_cell
     if view == "ce_mag":
         if cell.ce is None:
             return [f"cell {nid}: no channel estimate yet"]
         out = []
         for p in range(cell.n_ports):
-            out.append(ascii_plot(_db10(cell.ce[p]), width=w, height=7,
-                                  label=f"cell {nid} port {p} |CE| dB"))
+            out.append(plot_trace(
+                _db10(cell.ce[p]), x_min=0, x_max=71, x_tick=12,
+                y_min=-50, y_max=0, y_tick=10, width=w, height=9,
+                connect=True,
+                label=f"cell {nid} port {p} |CE|^2 dB vs subcarrier"))
         return out
     if view == "ce_phase":
         if cell.ce is None:
             return [f"cell {nid}: no channel estimate yet"]
         out = []
         for p in range(cell.n_ports):
-            out.append(ascii_plot(np.angle(cell.ce[p]), width=w, height=7,
-                                  label=f"cell {nid} port {p} CE phase"))
+            ang = np.angle(cell.ce[p])
+            mean_ang = float(np.angle(np.sum(np.exp(1j * ang))))
+            out.append(plot_trace(
+                np.degrees(ang), x_min=0, x_max=71, x_tick=12,
+                y_min=-40, y_max=40, y_tick=10, width=w, height=9,
+                connect=False,
+                x_supermark=(mean_ang + np.pi) / (2 * np.pi) * 71,
+                label=f"cell {nid} port {p} CE phase (deg) "
+                      "vs subcarrier"))
         return out
     if view == "ac_fd":
         if cell.ac_fd is None:
             return [f"cell {nid}: no frequency autocorrelation yet"]
-        return [ascii_plot(np.abs(cell.ac_fd), width=w, height=7,
-                           label=f"cell {nid} |freq-domain CE "
-                                 f"autocorrelation| (delay spread)")]
+        return [plot_trace(
+            np.abs(cell.ac_fd), x_min=0, x_max=11, x_tick=2,
+            y_min=0, y_max=1.2, y_tick=0.5, width=w, height=9,
+            connect=True,
+            label=f"cell {nid} |freq-domain CE autocorrelation| "
+                  "vs lag (delay spread)")]
     if view == "ac_td":
         if cell.ac_td is None:
             return [f"cell {nid}: no time autocorrelation yet"]
-        return [ascii_plot(np.abs(cell.ac_td), width=w, height=7,
-                           label=f"cell {nid} |time-domain CE "
-                                 f"autocorrelation| (Doppler)")]
+        n = len(cell.ac_td)
+        return [plot_trace(
+            np.abs(cell.ac_td), np.arange(n) * 0.0005,
+            x_min=0, x_max=(n - 1) * 0.0005, x_tick=0.010,
+            y_min=0, y_max=3.2, y_tick=0.5, width=w, height=9,
+            connect=True,
+            label=f"cell {nid} |time-domain CE autocorrelation| "
+                  "vs seconds (Doppler)")]
     if view == "sync":
         rows = [
             f"cell {nid} sync channel: "
@@ -170,9 +192,12 @@ def _detail_view(cell, view: str, width: int) -> List[str]:
                 + "   NP dB: "
                 + "  ".join(_fmt(_dbs(v)) for v in cell.crs_np_av))
         if cell.sync_ce is not None:
-            rows.append(ascii_plot(_db10(cell.sync_ce[5:67]), width=w,
-                                   height=7,
-                                   label=f"cell {nid} sync |CE| dB"))
+            rows.append(plot_trace(
+                _db10(cell.sync_ce), x_min=0, x_max=71, x_tick=12,
+                y_min=-50, y_max=0, y_tick=10, width=w, height=9,
+                connect=True,
+                label=f"cell {nid} sync channel |CE|^2 dB "
+                      "vs subcarrier"))
         return rows
     return []
 

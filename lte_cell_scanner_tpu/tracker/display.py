@@ -20,6 +20,85 @@ def _fmt(v, spec=".1f", nan="  -  "):
     return format(v, spec)
 
 
+def plot_trace(y, x=None, *, x_min: float, x_max: float, x_tick: float,
+               y_min: float, y_max: float, y_tick: float,
+               width: int = 77, height: int = 10,
+               x_supermark: float = float("nan"),
+               connect: bool = True, label: str = "") -> str:
+    """Scaled-axes ASCII trace plot — the text-mode equivalent of the
+    reference's plot_trace engine (src/display_thread.cpp:245-370):
+    fixed x/y ranges, a 5-column y-axis gutter with right-aligned tick
+    labels, tick marks on both axes, an optional x-axis supermark ('*'),
+    linear interpolation of the trace onto the plot columns,
+    out-of-range clamping drawn as '^' (above) / '-' (below), and
+    optional connect-the-dots vertical fill ('.')."""
+    gutter = 5
+    plot_w = max(8, width - gutter)
+    plot_h = max(3, height - 1)
+    y = np.asarray(y, dtype=float).ravel()
+    x = (np.linspace(x_min, x_max, len(y)) if x is None
+         else np.asarray(x, dtype=float).ravel())
+    grid = [[" "] * plot_w for _ in range(plot_h)]
+
+    # Trace: interp1 onto the plot columns (reference: linspace+interp1).
+    xs = np.linspace(x_min, x_max, plot_w)
+    order = np.argsort(x)
+    ys = np.interp(xs, x[order], y[order], left=np.nan, right=np.nan)
+    ys = np.where((xs >= x.min()) & (xs <= x.max()), ys, np.nan)
+    y_scale = (y_max - y_min) / (plot_h - 1)
+    prev_row = None
+    for t in range(plot_w):
+        if not np.isfinite(ys[t]):
+            prev_row = None
+            continue
+        row = int(round((plot_h - 1) - (ys[t] - y_min) / y_scale))
+        ch = "*"
+        if row < 0:
+            row, ch = 0, "^"
+        elif row > plot_h - 1:
+            row, ch = plot_h - 1, "-"
+        grid[row][t] = ch
+        if connect and prev_row is not None and abs(row - prev_row) > 1:
+            step = 1 if row > prev_row else -1
+            mid = round((prev_row + row) / 2)
+            for k in range(prev_row + step, row, step):
+                col = (t - 1 if (k < mid) == (step == 1) else t)
+                if grid[k][max(0, col)] == " ":
+                    grid[k][max(0, col)] = "."
+        prev_row = row
+
+    # Axes: y gutter with tick labels, x axis line with tick marks.
+    lines = [label] if label else []
+    ytick_rows = {}
+    ty = math.ceil(y_min / y_tick) * y_tick
+    while ty <= y_max + 1e-9:
+        r = int(round((plot_h - 1) - (ty - y_min) / y_scale))
+        if 0 <= r <= plot_h - 1:
+            ytick_rows[r] = f"{ty:4.4g}"[:4]
+        ty += y_tick
+    for r in range(plot_h):
+        lbl = ytick_rows.get(r)
+        gut = (f"{lbl:>4}+" if lbl is not None else "    |")
+        lines.append(gut + "".join(grid[r]))
+    axis = [" "] * plot_w
+    tx = math.ceil(x_min / x_tick) * x_tick
+    x_scale = (x_max - x_min) / (plot_w - 1)
+    while tx <= x_max + 1e-9:
+        c = int(round((tx - x_min) / x_scale))
+        if 0 <= c <= plot_w - 1:
+            axis[c] = "+"
+        tx += x_tick
+    if np.isfinite(x_supermark):
+        c = int(round((x_supermark - x_min) / x_scale))
+        if 0 <= c <= plot_w - 1:
+            axis[c] = "*"
+    lines.append("    +" + "".join(
+        ch if ch != " " else "-" for ch in axis))
+    lines.append("     " + f"{x_min:<8.4g}" + " " * max(
+        0, plot_w - 16) + f"{x_max:>8.4g}")
+    return "\n".join(lines)
+
+
 def ascii_plot(values: np.ndarray, width: int = 60, height: int = 8,
                label: str = "") -> str:
     """Tiny ASCII plot engine (reference: display_thread.cpp:245-370)."""

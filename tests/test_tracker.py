@@ -170,10 +170,18 @@ def test_curses_display_renderer(sim_signal):
         frame = render_frame(trk, ui)
         assert any("271" in ln for ln in frame)
         assert len(frame) >= 4
-    # detail views render plots once measurements exist
+    # detail views render scaled plot_trace frames once measurements
+    # exist (reference ranges: CE magnitude -50..0 dB with y-axis tick
+    # labels and an x axis, src/display_thread.cpp:597-660).
     ui.view = VIEWS.index("ce_mag")
     frame = "\n".join(render_frame(trk, ui))
-    assert "|CE| dB" in frame
+    assert "|CE|^2 dB" in frame
+    assert " -50+" in frame and " -10+" in frame   # y tick labels
+    assert "+--" in frame                          # x axis with ticks
+    ui.view = VIEWS.index("ce_phase")
+    frame = "\n".join(render_frame(trk, ui))
+    assert "CE phase (deg)" in frame
+    assert "*" in frame.split("+--")[-1] or "*" in frame  # supermark/trace
     ui.view = VIEWS.index("sync")
     frame = "\n".join(render_frame(trk, ui))
     assert "sync channel" in frame
