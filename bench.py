@@ -298,6 +298,8 @@ def main():
         "profile"}: per-fc wall of each of the REPS steady-state
         batches (a tunnel stall poisons ONE batch sample, not the
         median — VERDICT r3 item 1), plus the per-stage attribution."""
+        from collections import deque
+
         with ThreadPoolExecutor(1) as ex:
             dev = put_chunked(u8)           # pipeline fill (untimed)
             scan_out = scan_jit(dev)        # async dispatch
@@ -306,14 +308,24 @@ def main():
             PROF.clear()
             t0 = time.time()
             stamps = []
+            scan_q = deque([(scan_out, flat)])  # scanned, tables unread
             sync_prev = None    # (sp, bases, flat) awaiting sync fetch
             mib_prev = None     # MIB pendings awaiting collection
             last = None
             fut = None
             for i in range(REPS):
-                # ---- fetch phase (link free of uploads).
+                # ---- fetch phase (link free of uploads). In deep mode
+                # the tables fetch is DEFERRED one batch: device_put
+                # returns before the bytes land, so batch i's upload
+                # only truly finishes mid-iteration — fetching batch
+                # i-1's tables instead waits on (almost) nothing.
                 t1 = time.time()
-                tables = np.asarray(scan_out, dtype=np.float64)
+                tables = None
+                if not defer_sync or i > 0:
+                    so, fl = scan_q.popleft()
+                    tables = np.asarray(so, dtype=np.float64)
+                else:
+                    fl = None
                 PROF["tables_fetch"] += time.time() - t1
                 if mib_prev is not None:
                     last = finish_batch(mib_prev)
@@ -321,19 +333,20 @@ def main():
                 synced = None
                 if defer_sync and sync_prev is not None:
                     synced = collect_sync(*sync_prev)
+                    sync_prev = None
                 # ---- upload phase (chunked, in the uploader thread).
                 if i + 1 < REPS:
                     fut = ex.submit(put_chunked, u8)
                 # ---- dispatch phase (async; overlaps the upload).
                 if defer_sync:
-                    sp_i = sync_dispatch_batch(tables, flat)
+                    if tables is not None:
+                        sync_prev = sync_dispatch_batch(tables, fl)
                     if synced is not None:
                         mib_prev = mib_dispatch_synced(*synced)
-                    sync_prev = sp_i
                 else:
                     # 2-deep: the in-batch sync fetch rides between the
                     # upload's chunks (one blocking round trip).
-                    mib_prev = decode_batch_dispatch(tables, flat)
+                    mib_prev = decode_batch_dispatch(tables, fl)
                 if i + 1 < REPS:
                     t1 = time.time()
                     dev = fut.result()
@@ -341,7 +354,7 @@ def main():
                     t1 = time.time()
                     scan_out = scan_jit(dev)  # device starts scan(i+1)
                     _async_copy(scan_out)
-                    flat = to_flat(dev)
+                    scan_q.append((scan_out, to_flat(dev)))
                     PROF["scan_dispatch"] += time.time() - t1
                 stamps.append(time.time())
             # Steady-state per-batch samples; the pipeline-drain tail
@@ -355,7 +368,22 @@ def main():
                 sum(PROF.values()) / REPS / B * 1e3, 3)
             profile["mean_ms_per_fc"] = round(
                 (stamps[-1] - t0) / REPS / B * 1e3, 3)
-            if sync_prev is not None:       # drain the deferred tail
+            # Drain the deferred tail (untimed).
+            while scan_q:
+                so, fl = scan_q.popleft()
+                tables = np.asarray(so, dtype=np.float64)
+                if defer_sync:
+                    if sync_prev is not None:
+                        synced = collect_sync(*sync_prev)
+                        if mib_prev is not None:
+                            finish_batch(mib_prev)
+                        mib_prev = mib_dispatch_synced(*synced)
+                    sync_prev = sync_dispatch_batch(tables, fl)
+                else:
+                    if mib_prev is not None:
+                        finish_batch(mib_prev)
+                    mib_prev = decode_batch_dispatch(tables, fl)
+            if sync_prev is not None:
                 tail = mib_dispatch_batch(*sync_prev)
                 if mib_prev is not None:
                     finish_batch(mib_prev)

@@ -134,7 +134,12 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
 
     n_chunks = -(-B_tot // batch)
     chunks = [make_chunk(ci) for ci in range(n_chunks)]
-    depth = 3 if defer_sync else 2
+    # Deep mode defers the TABLES fetch a chunk too (device_put returns
+    # before the bytes land, so a chunk's upload only truly completes
+    # mid-iteration; reading the PREVIOUS chunk's tables waits on
+    # almost nothing): scan -> tables -> sync -> MIB each one chunk
+    # apart = 4-deep.
+    depth = 4 if defer_sync else 2
     per_cap: List[List[Cell]] = [[] for _ in range(B_tot)]
     all_good: List[Cell] = []
 
@@ -218,11 +223,12 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
         stage_scan(chunks[0], put(0))    # pipeline fill (untimed in bench)
         fut = None
         for i in range(n_chunks + depth - 1):
+            ti = i - 1 if defer_sync else i    # chunk whose tables land
             # ---- fetch phase (no upload in flight).
-            if i < n_chunks:
-                stage_tables(chunks[i])
-            if defer_sync and 0 <= i - 1 < n_chunks:
-                stage_sync_collect(chunks[i - 1])
+            if 0 <= ti < n_chunks:
+                stage_tables(chunks[ti])
+            if defer_sync and 0 <= ti - 1 < n_chunks:
+                stage_sync_collect(chunks[ti - 1])
             j = i - (depth - 1)
             if 0 <= j < n_chunks:
                 stage_collect(chunks[j])
@@ -230,14 +236,14 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
             if i + 1 < n_chunks:
                 fut = ex.submit(put, i + 1)
             # ---- dispatch phase (async; overlaps the upload).
-            if i < n_chunks:
-                stage_sync_dispatch(chunks[i])
+            if 0 <= ti < n_chunks:
+                stage_sync_dispatch(chunks[ti])
                 if not defer_sync:
                     # 2-deep: the in-batch sync fetch rides between the
                     # upload's pieces (one blocking round trip).
-                    stage_mib(chunks[i])
-            if defer_sync and 0 <= i - 1 < n_chunks:
-                stage_mib(chunks[i - 1])
+                    stage_mib(chunks[ti])
+            if defer_sync and 0 <= ti - 1 < n_chunks:
+                stage_mib(chunks[ti - 1])
             if i + 1 < n_chunks:
                 stage_scan(chunks[i + 1], fut.result())
 
