@@ -506,35 +506,14 @@ def main():
                                         if wb_ms_per_carrier else None)
     _checkpoint(res)
 
-    # Multi-host sweep scaling (BASELINE.md: >=0.9 linear 1 -> 2 hosts):
-    # real 2-process jax.distributed runs on the CPU backend (see
-    # parallel/multihost.py measure_sweep_scaling for how the
-    # single-core box yields honest per-host compute + comm times).
-    try:
-        from lte_cell_scanner_tpu.parallel.multihost import (
-            measure_sweep_scaling)
-
-        mh = measure_sweep_scaling(n_procs=2, b_per_proc=8, n_f=4,
-                                   reps=4, verbose=False, n_meas=3)
-        multihost = {"scaling_1to2": mh["scaling"],
-                     "scaling_samples": mh["scaling_samples"],
-                     "samples_per_sec_1host": mh["samples_per_sec_1host"],
-                     "samples_per_sec_2host":
-                         mh["samples_per_sec_nhost_total"],
-                     "comm_s": mh["t_comm_s"]}
-        if "scaling_samples_discarded_run" in mh:
-            multihost["scaling_samples_discarded_run"] = \
-                mh["scaling_samples_discarded_run"]
-    except Exception:  # pragma: no cover - keep the headline alive
-        multihost = None
-    res["multihost"] = multihost
-    _checkpoint(res)
-
     # Tracker capacity (reference baseline: 4 cells realtime on an i7,
     # doc/LTE-Tracker.html:56-57): the batched engine driven end-to-end
     # (wall number, link-bound here) plus the chained-dispatch
     # device-bound capacity (the honest chip number). Small shapes keep
     # this stage a couple of minutes; LTE_BENCH_TRACKER=0 skips it.
+    # Ordering: TUNNEL-dependent extras (this + telemetry) run before
+    # the CPU-only multihost stage so a late tunnel wedge cannot cost
+    # the stages that don't need the tunnel at all.
     tracker = None
     if not interpret and os.environ.get("LTE_BENCH_TRACKER", "1") != "0":
         try:
@@ -564,10 +543,34 @@ def main():
             upload_floor_ms = round(u8.nbytes / B / (rate * 1e6) * 1e3, 2)
         except Exception:  # pragma: no cover - telemetry must not kill bench
             pass
-
     res["h2d_mbps"] = link_mbps
     res["link_rtt_ms"] = rtt_ms
     res["upload_floor_ms"] = upload_floor_ms
+    _checkpoint(res)
+
+    # Multi-host sweep scaling (BASELINE.md: >=0.9 linear 1 -> 2 hosts):
+    # real 2-process jax.distributed runs on the CPU backend (see
+    # parallel/multihost.py measure_sweep_scaling for how the
+    # single-core box yields honest per-host compute + comm times).
+    # Runs LAST: it needs no tunnel, so a wedged tunnel can't reach it.
+    try:
+        from lte_cell_scanner_tpu.parallel.multihost import (
+            measure_sweep_scaling)
+
+        mh = measure_sweep_scaling(n_procs=2, b_per_proc=8, n_f=4,
+                                   reps=4, verbose=False, n_meas=3)
+        multihost = {"scaling_1to2": mh["scaling"],
+                     "scaling_samples": mh["scaling_samples"],
+                     "samples_per_sec_1host": mh["samples_per_sec_1host"],
+                     "samples_per_sec_2host":
+                         mh["samples_per_sec_nhost_total"],
+                     "comm_s": mh["t_comm_s"]}
+        if "scaling_samples_discarded_run" in mh:
+            multihost["scaling_samples_discarded_run"] = \
+                mh["scaling_samples_discarded_run"]
+    except Exception:  # pragma: no cover - keep the headline alive
+        multihost = None
+    res["multihost"] = multihost
     print(json.dumps(res))
 
 
