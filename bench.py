@@ -209,14 +209,28 @@ def main():
     def decode_batch(tables, cap_flat):
         return finish_batch(decode_batch_dispatch(tables, cap_flat))
 
+    # Chunked host->device upload: the tunnel moves ~40% more bytes/s
+    # in ~2.5 MB pieces (and, in the pipelined loops below, small plan
+    # uploads and fetches interleave between pieces).
+    UP_CHUNKS = int(os.environ.get("LTE_BENCH_UP_CHUNKS", "8"))
+
+    def put_chunked(a):
+        n = UP_CHUNKS
+        if n <= 1 or a.shape[0] % n:
+            return jax.device_put(a)
+        step = a.shape[0] // n
+        parts = [jax.device_put(a[i * step:(i + 1) * step])
+                 for i in range(n)]
+        return jnp.concatenate(parts, axis=0)
+
     def full_pipeline(dev=None):
         if dev is None:
-            dev = jax.device_put(u8)
+            dev = put_chunked(u8)
         tables = np.asarray(scan_jit(dev), dtype=np.float64)
         return tables, decode_batch(tables, to_flat(dev))
 
     def scan_only():
-        dev = jax.device_put(u8)
+        dev = put_chunked(u8)
         return np.asarray(scan_jit(dev), dtype=np.float64)
 
     # Link-health telemetry: the tunnel's H2D rate on this box drifts
@@ -274,18 +288,6 @@ def main():
     # Steady-state throughput, not latency; the pipeline-fill upload of
     # batch 0 is outside the timed region.
     from concurrent.futures import ThreadPoolExecutor
-
-    UP_CHUNKS = int(os.environ.get("LTE_BENCH_UP_CHUNKS", "8"))
-
-    def put_chunked(a):
-        """Chunked host->device upload (see schedule note above)."""
-        n = UP_CHUNKS
-        if n <= 1 or a.shape[0] % n:
-            return jax.device_put(a)
-        step = a.shape[0] // n
-        parts = [jax.device_put(a[i * step:(i + 1) * step])
-                 for i in range(n)]
-        return jnp.concatenate(parts, axis=0)
 
     def _async_copy(a):
         try:

@@ -305,9 +305,15 @@ def _measure_sweep_once(n_procs: int, b_per_proc: int,
                         devices_per_proc: int, n_f: int, n_cap: int,
                         reps: int, timeout: float) -> dict:
     """One full 1-host + N-host throughput measurement (see
-    measure_sweep_scaling for the methodology)."""
-    total_b = n_procs * b_per_proc
-    env = dict(MH_MODE="sweep", MH_NCAP=n_cap, MH_NF=n_f, MH_REPS=reps)
+    measure_sweep_scaling for the methodology).
+
+    Both legs sweep the SAME per-host batch (weak scaling — the
+    BASELINE.md metric is samples/s scaling): a 1-host leg sweeping
+    N*b captures has an N-times-larger working set, whose cache
+    behavior on this one-core box systematically differed from the
+    per-host runs and read as impossible super-linear scaling."""
+    env = dict(MH_MODE="sweep", MH_NCAP=n_cap, MH_NF=n_f, MH_REPS=reps,
+               MH_B=b_per_proc)
 
     def parse(outs):
         vals = []
@@ -322,23 +328,23 @@ def _measure_sweep_once(n_procs: int, b_per_proc: int,
                                + "\n---\n".join(outs))
         return vals
 
-    outs1 = _launch_workers(1, devices_per_proc,
-                            dict(env, MH_B=total_b), timeout)
+    outs1 = _launch_workers(1, devices_per_proc, env, timeout)
     (t1, _, samples1), = parse(outs1)
-    outsn = _launch_workers(n_procs, devices_per_proc,
-                            dict(env, MH_B=b_per_proc), timeout)
+    outsn = _launch_workers(n_procs, devices_per_proc, env, timeout)
     valsn = parse(outsn)
     t_n = max(v[0] for v in valsn) + max(v[1] for v in valsn)
     samples_n = sum(v[2] for v in valsn)
+    rate1 = samples1 / t1
+    rate_n = samples_n / t_n
     return {
         "n_procs": n_procs,
-        "captures_total": total_b,
+        "captures_per_host": b_per_proc,
         "t_1host_s": round(t1, 3),
         "t_nhost_s": round(t_n, 3),
         "t_comm_s": round(max(v[1] for v in valsn), 4),
-        "samples_per_sec_1host": int(samples1 / t1),
-        "samples_per_sec_nhost_total": int(samples_n / t_n),
-        "scaling": round(t1 / (n_procs * t_n), 3),
+        "samples_per_sec_1host": int(rate1),
+        "samples_per_sec_nhost_total": int(rate_n),
+        "scaling": round(rate_n / (n_procs * rate1), 3),
     }
 
 
