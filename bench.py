@@ -336,6 +336,13 @@ def main():
                 if defer_sync and sync_prev is not None:
                     synced = collect_sync(*sync_prev)
                     sync_prev = None
+                elif not defer_sync:
+                    # 2-deep: the in-batch sync round trip also belongs
+                    # in the fetch phase — behind an in-flight upload
+                    # it measured WORSE than the serial loop at low
+                    # link rates.
+                    synced = collect_sync(*sync_dispatch_batch(tables,
+                                                               fl))
                 # ---- upload phase (chunked, in the uploader thread).
                 if i + 1 < REPS:
                     fut = ex.submit(put_chunked, u8)
@@ -346,9 +353,7 @@ def main():
                     if synced is not None:
                         mib_prev = mib_dispatch_synced(*synced)
                 else:
-                    # 2-deep: the in-batch sync fetch rides between the
-                    # upload's chunks (one blocking round trip).
-                    mib_prev = decode_batch_dispatch(tables, fl)
+                    mib_prev = mib_dispatch_synced(*synced)
                 if i + 1 < REPS:
                     t1 = time.time()
                     dev = fut.result()
@@ -522,7 +527,10 @@ def main():
             from lte_cell_scanner_tpu.tools.bench_tracker import (
                 measure as measure_tracker)
 
-            tr = measure_tracker(cells=64, seconds=0.8, verbose=False)
+            # 1.4 s of signal = 3 timed 300 ms cycles after the warm-up
+            # chunk (0.8 s left a single timed cycle, whose wall was at
+            # the mercy of one tunnel hiccup).
+            tr = measure_tracker(cells=64, seconds=1.4, verbose=False)
             tracker = {"cells_realtime_wall": tr["value"],
                        "cells_realtime_device":
                            tr.get("cells_realtime_device"),

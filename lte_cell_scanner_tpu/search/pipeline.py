@@ -227,6 +227,11 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
             # ---- fetch phase (no upload in flight).
             if 0 <= ti < n_chunks:
                 stage_tables(chunks[ti])
+                if not defer_sync:
+                    # 2-deep: the in-batch sync round trip also belongs
+                    # here — behind an in-flight upload it measured
+                    # worse than the serial loop at low link rates.
+                    stage_sync_dispatch(chunks[ti])
             if defer_sync and 0 <= ti - 1 < n_chunks:
                 stage_sync_collect(chunks[ti - 1])
             j = i - (depth - 1)
@@ -236,12 +241,10 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
             if i + 1 < n_chunks:
                 fut = ex.submit(put, i + 1)
             # ---- dispatch phase (async; overlaps the upload).
-            if 0 <= ti < n_chunks:
+            if defer_sync and 0 <= ti < n_chunks:
                 stage_sync_dispatch(chunks[ti])
-                if not defer_sync:
-                    # 2-deep: the in-batch sync fetch rides between the
-                    # upload's pieces (one blocking round trip).
-                    stage_mib(chunks[ti])
+            if not defer_sync and 0 <= ti < n_chunks:
+                stage_mib(chunks[ti])
             if defer_sync and 0 <= ti - 1 < n_chunks:
                 stage_mib(chunks[ti - 1])
             if i + 1 < n_chunks:

@@ -344,15 +344,20 @@ class BatchTrackerEngine:
                 blk = np.stack([p.data for p in pdus])      # (n, 128) cplx
                 data[ci, :n, :, 0] = np.round(blk.real * 128.0 + 127.0)
                 data[ci, :n, :, 1] = np.round(blk.imag * 128.0 + 127.0)
-            fo_c = np.fromiter((p.frequency_offset for p in pdus),
-                               np.float64, n)
+            # One pass over the PDU objects for all five metadata
+            # fields (six separate fromiter passes were a top-3 host
+            # cost per cycle at production cell counts).
+            meta_np = np.array([(p.frequency_offset, p.late, p.sym_num,
+                                 p.slot_num, p.frame_timing)
+                                for p in pdus], np.float64)
+            fo_c = meta_np[:, 0]
             fo[ci, :n] = fo_c
             k = (state.fc_requested - fo_c) / state.fc_programmed
             foc_rate[ci, :n] = -2 * np.pi * fo_c / (state.fs_programmed * k)
-            late[ci, :n] = np.fromiter((p.late for p in pdus), np.float64, n)
-            syms_n = np.fromiter((p.sym_num for p in pdus), np.int64, n)
-            slots = np.fromiter((p.slot_num for p in pdus), np.int64, n)
-            fts = np.fromiter((p.frame_timing for p in pdus), np.float64, n)
+            late[ci, :n] = meta_np[:, 1]
+            syms_n = meta_np[:, 2].astype(np.int64)
+            slots = meta_np[:, 3].astype(np.int64)
+            fts = meta_np[:, 4]
             if cell.cp_type == "extended":
                 n_samp[ci, :n] = 128 + 32
             else:
