@@ -73,7 +73,7 @@ def _chain_tables(k: int):
     return A, BITS
 
 
-def _decode_one(d_llr):
+def _decode_one(d_llr, unroll=False, onehot_tb=True):
     """(3, n) LLR ln(P0/P1) -> (n,) bits. Jittable; vmapped by the batch
     wrapper.
 
@@ -82,7 +82,17 @@ def _decode_one(d_llr):
     trellis's (n, 64, 64) backpointer stack is ~0.5 GB of HBM traffic at
     the MIB batch sizes — it dominated the whole decode program), then a
     single-start replay with the identical tie-breaking (m1 > m0)
-    reproduces the same survivor path with an (n, 64) stack."""
+    reproduces the same survivor path with an (n, 64) stack.
+
+    ``unroll``/``onehot_tb`` exist so tools/bench_viterbi.py can time
+    the variants back-to-back in one process (CLAUDE.md: slope noise is
+    ±20% across processes). Measured at the 768-decode MIB batch on the
+    v5e: the one-hot traceback (exact 0/1-weight f32 contractions
+    instead of the batched j_t[state]/BITS[s, j] gathers, which are
+    scalar-bound on TPU) is a consistent ~10% win (1.27 vs 1.41 ms) and
+    is the default; unrolling the three 10-step scans is a wash at
+    unroll=2 and 1.5-2x SLOWER fully unrolled (XLA materializes the
+    unrolled intermediates in HBM), so the default stays a loop."""
     signs_np, pred0_np, in_bit_np = _tables()
     signs = jnp.asarray(signs_np)
     pred0 = jnp.asarray(pred0_np)
@@ -120,12 +130,18 @@ def _decode_one(d_llr):
         # argmax stacks out of the joint pass measured 2x SLOWER (the
         # argmax defeats the fused max reduction), so the ML path is
         # recovered by the cheap (64,)-metric single-start replay.
+        n_steps = llrs_k.shape[0]
+        if isinstance(unroll, bool):
+            u = n_steps if unroll else 1
+        else:
+            u = int(unroll)          # partial unroll (bench sweeps)
+
         def fwd(metric, llr_flat):
             cand = metric.reshape(N_STATES, 1, G, JK) + adds3(llr_flat)
             return jnp.max(cand, axis=-1).reshape(N_STATES, N_STATES), \
                 None
 
-        metric, _ = jax.lax.scan(fwd, init, llrs_k)
+        metric, _ = jax.lax.scan(fwd, init, llrs_k, unroll=u)
         start = jnp.argmax(jnp.diagonal(metric)).astype(jnp.int32)
 
         init1 = jnp.full((N_STATES,), -jnp.inf, dtype=jnp.float32).at[
@@ -137,14 +153,31 @@ def _decode_one(d_llr):
             return (jnp.max(cand, axis=-1).reshape(N_STATES),
                     j.reshape(N_STATES))
 
-        _, bps = jax.lax.scan(fwd1, init1, llrs_k)        # (n/K, 64)
+        _, bps = jax.lax.scan(fwd1, init1, llrs_k, unroll=u)  # (n/K, 64)
 
-        def back(state, j_t):
-            j = j_t[state]
-            prev = ((state << _K) & (N_STATES - 1)) | j
-            return prev, BITS[state, j]                   # (K,) fwd order
+        if onehot_tb:
+            BITS_f = jnp.asarray(BITS_np.astype(np.float32))
 
-        _, bits = jax.lax.scan(back, start, bps, reverse=True)
+            def back(state, j_t):
+                # One-hot contractions instead of j_t[state]/BITS[s, j]:
+                # under the batch vmap those are scalar-bound gathers;
+                # these are exact (0/1 weights on small ints) VPU
+                # mul+reduce lanes.
+                oh_s = (jnp.arange(N_STATES) == state).astype(
+                    jnp.float32)                            # (64,)
+                j = (oh_s @ j_t.astype(jnp.float32)).astype(jnp.int32)
+                oh_j = (jnp.arange(JK) == j).astype(jnp.float32)
+                bk = jnp.einsum("s,j,sjk->k", oh_s, oh_j, BITS_f)
+                prev = ((state << _K) & (N_STATES - 1)) | j
+                return prev, bk.astype(jnp.int32)           # (K,) fwd
+
+        else:
+            def back(state, j_t):
+                j = j_t[state]
+                prev = ((state << _K) & (N_STATES - 1)) | j
+                return prev, BITS[state, j]                 # (K,) fwd
+
+        _, bits = jax.lax.scan(back, start, bps, reverse=True, unroll=u)
         return bits.reshape(-1).astype(jnp.int32)
 
     # pragma: no cover - lengths not divisible by the fused step

@@ -176,6 +176,11 @@ class BatchTrackerEngine:
         self._stream_end = 0
         self._dev_tables = None            # device RS/sync tables
         self._dev_key = None
+        # Optional (filter, callback) per-symbol CE observer — same
+        # contract as CellTracker.ce_observer (the engine only
+        # interpolates CE at symbols something consumes; an observer
+        # makes its symbols consumers, same bracketing lerp).
+        self.ce_observer = None
         # ac_td rolling raw-CE history: DEVICE-RESIDENT engine state
         # (Cp, 72, 12, 2) f32 — updated by every stats dispatch, never
         # fetched; counts gate the first IIR assignment at 72 rows
@@ -503,6 +508,12 @@ class BatchTrackerEngine:
                 interesting[int(si)] = qi
             for si in info["sync_meta"]:
                 interesting.setdefault(int(si), None)
+            obs = self.ce_observer
+            if obs is not None:
+                for si in range(info["n"]):
+                    if obs[0](int(info["slots"][si]),
+                              int(info["syms"][si])):
+                        interesting.setdefault(int(si), None)
             for si in sorted(interesting):
                 if interesting[si] is not None:
                     cyc["patch"].append((ctx, len(ctx.pending), ci,
@@ -858,9 +869,19 @@ class BatchTrackerEngine:
                 continue
             n_ports = cell.n_ports
             horizon = min(ctx.horizon[:n_ports]) if n_ports else -1
+            obs = self.ce_observer
             while ctx.pending and ctx.pending[0][0] < horizon:
                 seq, slot_num, sym_num, syms = ctx.pending.popleft()
                 pt = ctx.interp_points.pop(seq, None)
+                if obs is not None and pt is not None \
+                        and len(pt) == n_ports \
+                        and obs[0](slot_num, sym_num):
+                    obs[1](cell.n_id_cell, slot_num, sym_num,
+                           np.stack([pt[p][0] for p in range(n_ports)]),
+                           np.array([pt[p][1]["sp"]
+                                     for p in range(n_ports)]),
+                           np.array([pt[p][1]["np_"]
+                                     for p in range(n_ports)]))
                 if slot_num in (0, 10):
                     sv = ctx.sync_vals.pop(seq, None)
                     if sv is not None:

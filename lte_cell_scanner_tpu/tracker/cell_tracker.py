@@ -98,6 +98,13 @@ class CellTracker:
         self.ce_interp_init = [False] * n_ports
         self.ce_history = [deque(maxlen=72) for _ in range(n_ports)]
         self.mib_fifo: Deque = deque()
+        # Optional (filter, callback) pair: per-symbol interpolated CE
+        # for consumers beyond sync/PBCH (e.g. PDSCH work). filter(slot,
+        # sym) selects symbols; callback(n_id_cell, slot, sym, ce, sp,
+        # np_) receives the (n_ports, 72) estimate the reference's
+        # tracker_thread computes for every OFDM symbol
+        # (src/tracker_thread.cpp:372-477).
+        self.ce_observer = None
         self.mib_fifo_synchronized = False
         self.sss_sym: Optional[np.ndarray] = None
 
@@ -173,6 +180,10 @@ class CellTracker:
             sp = np.array([p.sp for p in interp])
             np_ = np.array([p.np_ for p in interp])
             cell.ce = ce
+            obs = self.ce_observer
+            if obs is not None and obs[0](slot_num, sym_num):
+                obs[1](cell.n_id_cell, slot_num, sym_num, ce.copy(),
+                       sp.copy(), np_.copy())
             self._update_crs_measurements(slot_num, sym_num, interp)
             self._sigpower_pss_sss(dsyms, slot_num, sym_num)
             self._mib_step(dsyms, ce, sp, np_, slot_num, sym_num)

@@ -71,7 +71,8 @@ class LTETracker:
                  backend: str = "numpy", batch: bool = False,
                  engine_every: int = 1, feeder: str = "python",
                  on_event: Optional[Callable[[str, dict], None]] = None,
-                 drop_threshold: Optional[float] = None):
+                 drop_threshold: Optional[float] = None,
+                 ce_observer: Optional[tuple] = None):
         self.state = GlobalState(
             fc_requested=fc_requested,
             fc_programmed=fc_programmed if fc_programmed else fc_requested,
@@ -92,6 +93,10 @@ class LTETracker:
         self.drop_threshold = (drop_threshold if drop_threshold is not None
                                else CELL_DROP_THRESHOLD)
         self.on_event = on_event or (lambda kind, info: None)
+        # Optional (filter, callback) per-symbol interpolated-CE tap for
+        # consumers beyond sync/PBCH — forwarded to both data planes
+        # (CellTracker.ce_observer / BatchTrackerEngine.ce_observer).
+        self.ce_observer = ce_observer
         self.feeder.request_searcher_capture()
         self.n_blocks = 0
         # Batched device data plane: all cells' per-symbol work in shared
@@ -103,6 +108,7 @@ class LTETracker:
                 BatchTrackerEngine)
 
             self.engine = BatchTrackerEngine(self.state)
+            self.engine.ce_observer = self.ce_observer
             # Descriptor mode: the engine uploads the raw stream once per
             # cycle and gathers every cell's windows on device.
             self.feeder.emit_descriptors = True
@@ -207,6 +213,7 @@ class LTETracker:
                 drop_threshold=self.drop_threshold)
             self.cells.append(cell)
             self.trackers[n_id] = CellTracker(cell, self.state)
+            self.trackers[n_id].ce_observer = self.ce_observer
             self.on_event("cell_acquired", {
                 "n_id_cell": n_id, "n_ports": cell.n_ports,
                 "n_rb_dl": cell.n_rb_dl, "cp_type": cell.cp_type,

@@ -165,3 +165,39 @@ def test_batch_engine_high_snr_timing_precision():
     assert abs(hc[0]["frame_timing"] - dc[0]["frame_timing"]) < 5e-3
     assert abs(host.status()["frequency_offset"]
                - dev.status()["frequency_offset"]) < 0.05
+
+
+def test_ce_observer_matches_host_at_nonconsumed_symbols(sim_signal):
+    """Per-symbol interpolated CE beyond the consuming sync/PBCH set:
+    the reference computes it for EVERY OFDM symbol
+    (src/tracker_thread.cpp:372-477); the engine only at consumers —
+    the ce_observer API makes arbitrary symbols consumers. Pin both
+    planes' estimates at slot-4 symbols (nothing else consumes them)
+    against each other: same bracketing lerp, f32 device rows vs the
+    f64 host chain."""
+    want = (4, 0)                      # (slot, sym) nothing consumes
+
+    def tap(store):
+        return (lambda slot, sym: (slot, sym) == want,
+                lambda nid, slot, sym, ce, sp, np_: store.append(
+                    (nid, ce, sp, np_)))
+
+    got_h, got_d = [], []
+    host = LTETracker(739e6, initial_freq_offset=4000.0,
+                      ce_observer=tap(got_h))
+    dev = LTETracker(739e6, initial_freq_offset=4000.0, batch=True,
+                     ce_observer=tap(got_d))
+    host.run(playback_source(sim_signal), max_blocks=300)
+    dev.run(playback_source(sim_signal), max_blocks=300)
+    assert len(got_h) > 20 and len(got_d) > 20
+    assert {g[0] for g in got_h} == {g[0] for g in got_d} == {271}
+    # Align on the common tail (the planes' interpolation warm-ups
+    # differ by a few symbols at the start of tracking).
+    n = min(len(got_h), len(got_d)) - 2
+    for (hn, hce, hsp, hnp), (dn, dce, dsp, dnp) in zip(
+            got_h[-n:], got_d[-n:]):
+        assert hce.shape == dce.shape and hce.shape[1] == 72
+        scale = np.abs(hce).max()
+        np.testing.assert_allclose(dce, hce, atol=2e-2 * scale)
+        np.testing.assert_allclose(dsp, hsp, rtol=0.05)
+        np.testing.assert_allclose(dnp, hnp, rtol=0.05, atol=1e-4)
