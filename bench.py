@@ -535,7 +535,8 @@ def main():
                        "cells_realtime_device":
                            tr.get("cells_realtime_device"),
                        "device_ms_per_cycle":
-                           tr.get("device_ms_per_cycle")}
+                           tr.get("device_ms_per_cycle"),
+                       "cycle_walls_s": tr.get("cycle_walls_s")}
         except Exception:  # pragma: no cover - keep the headline alive
             tracker = None
     res["tracker"] = tracker

@@ -211,7 +211,30 @@ def _decode_one(d_llr, unroll=False, onehot_tb=True):
     return bits.astype(jnp.int32)
 
 
+def _pallas_default() -> bool:
+    """Fused Pallas decoder by default on real accelerator backends;
+    the CPU backend keeps the XLA formulation (Pallas there would need
+    interpret mode, which is slower, not faster)."""
+    import os
+
+    env = os.environ.get("LTE_VIT_PALLAS")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() != "cpu"
+
+
 @jax.jit
-def lte_conv_decode_batch(d_llr: jnp.ndarray) -> jnp.ndarray:
-    """Decode a batch: (B, 3, n) LLRs -> (B, n) bits."""
+def _decode_batch_xla(d_llr: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(_decode_one)(d_llr.astype(jnp.float32))
+
+
+def lte_conv_decode_batch(d_llr: jnp.ndarray) -> jnp.ndarray:
+    """Decode a batch: (B, 3, n) LLRs -> (B, n) bits. Routes to the
+    VMEM-resident Pallas kernel (models/viterbi_pallas.py, bit-identical
+    decodes) on accelerator backends."""
+    if _pallas_default() and d_llr.shape[2] % _K == 0:
+        from lte_cell_scanner_tpu.models.viterbi_pallas import (
+            lte_conv_decode_pallas)
+
+        return lte_conv_decode_pallas(d_llr)
+    return _decode_batch_xla(d_llr)

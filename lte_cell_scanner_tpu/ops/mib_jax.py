@@ -820,8 +820,18 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
             return _cut(d_llr)
 
         # ---- tail-biting Viterbi (batched) + CRC16 with port masks.
+        # use_pallas routes to the VMEM-resident trellis kernel
+        # (models/viterbi_pallas.py, bit-identical decodes) — the XLA
+        # joint-metric pass round-trips ~25 MB of HBM per trellis step
+        # at this batch.
         flat = d_llr.reshape(-1, 3, 40)
-        bits = jax.vmap(_decode_one)(flat.astype(jnp.float32))
+        if use_pallas:
+            from lte_cell_scanner_tpu.models.viterbi_pallas import (
+                lte_conv_decode_pallas)
+
+            bits = lte_conv_decode_pallas(flat, interpret=interpret)
+        else:
+            bits = jax.vmap(_decode_one)(flat.astype(jnp.float32))
         bits = bits.reshape(llr.shape[0], 4, 3, 40)
         if stage == "vit":
             return _cut(bits)

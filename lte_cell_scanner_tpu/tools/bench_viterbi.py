@@ -85,13 +85,16 @@ def main(argv=None):
         n1, n2 = sorted(times)
         return (times[n2] - times[n1]) / (n2 - n1) * 1e3
 
+    from lte_cell_scanner_tpu.models.viterbi_pallas import (
+        lte_conv_decode_pallas)
+
     results = {"batch": args.batch, "backend": jax.default_backend()}
     variants = ((False, False, "loop_gather"),
-                (2, False, "unroll2_gather"),
                 (False, True, "loop_onehot"),
-                (2, True, "unroll2_onehot"))
+                ("pallas", None, "pallas"))
     for unroll, onehot_tb, key in variants:
-        fn = batch_fn(unroll, onehot_tb)
+        fn = (jax.jit(lte_conv_decode_pallas) if unroll == "pallas"
+              else batch_fn(unroll, onehot_tb))
         got = np.asarray(fn(llrs32))
         if not np.array_equal(got, host):
             raise SystemExit(f"variant {key} disagrees with the host "

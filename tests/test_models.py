@@ -221,3 +221,26 @@ def test_matlab_compat_helpers():
     assert last([1, 2, 7]) == 7
     np.testing.assert_array_equal(
         flatten([[np.arange(2), np.arange(2) + 2]]), np.arange(4))
+
+
+def test_pallas_viterbi_matches_host():
+    """The VMEM-resident Pallas trellis kernel (interpret mode on CPU)
+    is bit-identical to the host tail-biting decoder, including the
+    batch-pad path (150 -> 256 lanes)."""
+    from lte_cell_scanner_tpu.models.convcode import (lte_conv_decode,
+                                                      lte_conv_encode)
+    from lte_cell_scanner_tpu.models.viterbi_pallas import (
+        lte_conv_decode_pallas)
+
+    rng = np.random.default_rng(17)
+    B, n = 150, 40
+    bits = rng.integers(0, 2, (B, n)).astype(np.uint8)
+    llrs = []
+    for b in range(B):
+        d = lte_conv_encode(bits[b]).astype(np.float64)
+        y = (1.0 - 2.0 * d) + rng.standard_normal(d.shape)  # 0 dB AWGN
+        llrs.append(2 * y)
+    llrs = np.stack(llrs).astype(np.float32)
+    dev = np.asarray(lte_conv_decode_pallas(llrs, interpret=True))
+    for b in range(B):
+        np.testing.assert_array_equal(dev[b], lte_conv_decode(llrs[b]))
