@@ -302,7 +302,7 @@ def main():
         median — VERDICT r3 item 1), plus the per-stage attribution."""
         from collections import deque
 
-        with ThreadPoolExecutor(1) as ex:
+        with ThreadPoolExecutor(1) as ex, ThreadPoolExecutor(3) as fex:
             dev = put_chunked(u8)           # pipeline fill (untimed)
             scan_out = scan_jit(dev)        # async dispatch
             _async_copy(scan_out)
@@ -321,22 +321,38 @@ def main():
                 # returns before the bytes land, so batch i's upload
                 # only truly finishes mid-iteration — fetching batch
                 # i-1's tables instead waits on (almost) nothing.
-                t1 = time.time()
-                tables = None
+                # The pending fetches (tables, sync, MIB) are INDEPENDENT
+                # device arrays: issue them CONCURRENTLY — measured on
+                # this link, parallel fetches fully overlap (2 fetches =
+                # 27 ms, serial = 52), so the phase costs ~one round
+                # trip instead of one per fetch.
+                def fetch_tables(so):
+                    t2 = time.time()
+                    out = np.asarray(so, dtype=np.float64)
+                    PROF["tables_fetch"] += time.time() - t2
+                    return out
+
+                jobs = {}
                 if not defer_sync or i > 0:
                     so, fl = scan_q.popleft()
-                    tables = np.asarray(so, dtype=np.float64)
+                    jobs["tables_fetch"] = fex.submit(fetch_tables, so)
                 else:
                     fl = None
-                PROF["tables_fetch"] += time.time() - t1
                 if mib_prev is not None:
-                    last = finish_batch(mib_prev)
+                    jobs["mib_fetch"] = fex.submit(finish_batch, mib_prev)
                     mib_prev = None
-                synced = None
                 if defer_sync and sync_prev is not None:
-                    synced = collect_sync(*sync_prev)
+                    jobs["sync_fetch"] = fex.submit(collect_sync,
+                                                    *sync_prev)
                     sync_prev = None
-                elif not defer_sync:
+                t1 = time.time()
+                done = {k: f.result() for k, f in jobs.items()}
+                PROF["fetch_join"] += time.time() - t1
+                tables = done.get("tables_fetch")
+                if "mib_fetch" in done:
+                    last = done["mib_fetch"]
+                synced = done.get("sync_fetch")
+                if not defer_sync:
                     # 2-deep: the in-batch sync round trip also belongs
                     # in the fetch phase — behind an in-flight upload
                     # it measured WORSE than the serial loop at low
@@ -369,6 +385,9 @@ def main():
             # the per-batch cost).
             batches_ms = [(b - a) / B * 1e3
                           for a, b in zip([t0] + stamps[:-1], stamps)]
+            # The individual *_fetch keys run CONCURRENTLY inside the
+            # fetch phase and overlap; fetch_join is the phase's true
+            # wall (so stage keys can sum to more than the total).
             profile = {k: round(v / REPS / B * 1e3, 3)
                        for k, v in sorted(PROF.items())}
             profile["accounted_ms_per_fc"] = round(
@@ -527,10 +546,10 @@ def main():
             from lte_cell_scanner_tpu.tools.bench_tracker import (
                 measure as measure_tracker)
 
-            # 1.4 s of signal = 3 timed 300 ms cycles after the warm-up
-            # chunk (0.8 s left a single timed cycle, whose wall was at
-            # the mercy of one tunnel hiccup).
-            tr = measure_tracker(cells=64, seconds=1.4, verbose=False)
+            # 2.0 s of signal = 4 timed 300 ms cycles after TWO warm-up
+            # chunks (the MIB backlog's first cycles walk up batch
+            # buckets, each a one-time compile that must stay untimed).
+            tr = measure_tracker(cells=64, seconds=2.0, verbose=False)
             tracker = {"cells_realtime_wall": tr["value"],
                        "cells_realtime_device":
                            tr.get("cells_realtime_device"),

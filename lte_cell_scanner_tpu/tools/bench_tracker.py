@@ -68,7 +68,8 @@ def _collect_pdus(seconds: float):
     return harvested, raw_blocks, proto
 
 
-def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
+def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True,
+            warm_chunks=2):
     """Run the capacity measurement; returns the metric dict (the same
     payload ``main`` prints). Callable from bench.py so the driver's
     headline JSON carries the tracker capacity too."""
@@ -79,10 +80,10 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
         n_need = len(pdus)
     pdus = pdus[:n_need]
     chunk = max(1, int(chunk_ms / 1000 * n_sym_s))
-    if len(pdus) <= chunk:
+    if len(pdus) <= chunk * (int(warm_chunks) + 1):
         # Never let warm-up consume the whole signal: keep >= 2 timed
         # chunks or the measurement degenerates to 0 s.
-        chunk = max(1, len(pdus) // 3)
+        chunk = max(1, len(pdus) // (int(warm_chunks) + 2))
 
     M = cells
     state = GlobalState(fc_requested=739e6, fc_programmed=739e6,
@@ -102,9 +103,27 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
     for blk in raw_blocks:
         engine.push_raw(blk)
 
-    # Warm-up: compile the dispatch shapes.
+    # Warm-up: compile the dispatch shapes, including the Viterbi
+    # decoder's single 128-lane-padded kernel shape (a fresh Mosaic
+    # compile through the tunnel costs minutes and must never land in
+    # a timed cycle).
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    import lte_cell_scanner_tpu.tracker.batch_runtime as _br
+
+    # All four power-of-two tile counts of the eager decode path (see
+    # lte_conv_decode_batch): job counts walk up over the first cycles.
+    for _b in (1, 129, 257, 513):
+        _np.asarray(_br.lte_conv_decode_batch(_jnp.zeros((_b, 3, 40))))
+    # TWO warm-up cycles by default: the MIB backlog walks up batch
+    # buckets over the first cycles, and each fresh bucket's eager op
+    # set (pad/tile/concat around the Viterbi kernel) costs a one-time
+    # per-process compile through the tunnel that must not land in a
+    # timed cycle.
+    warm = max(1, int(warm_chunks)) * chunk
     for c in cells:
-        for p in pdus[:chunk]:
+        for p in pdus[:warm]:
             c.fifo.append(p)
     engine.process_all(cells)
 
@@ -144,7 +163,7 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
     br._stats_jit = tap_stats
     br.lte_conv_decode_batch = tap_vit
     try:
-        fed = chunk
+        fed = warm
         # Full chunks only: a trailing partial chunk would change the
         # dispatch bucket and drop a fresh (tunnel-slow) compile into
         # the timed region. Each cycle is timed SEPARATELY and the
@@ -169,7 +188,7 @@ def measure(cells=96, seconds=1.2, chunk_ms=300.0, verbose=True):
         (br._demod_stream_jit, br._stats_jit, br.lte_conv_decode_batch,
          br._demod_stream_pallas_jit) = orig
 
-    signal_s = (fed - chunk) / n_sym_s
+    signal_s = (fed - warm) / n_sym_s
     chunk_s = chunk / n_sym_s
     cells_realtime = M * chunk_s / wall_med
     mibs = sum(c.mib_decode_successes for c in cells)

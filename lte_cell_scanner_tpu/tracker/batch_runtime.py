@@ -945,7 +945,9 @@ class BatchTrackerEngine:
             batch = np.zeros((B,) + llrs[0].shape, np.float32)
             for i, x in enumerate(llrs):
                 batch[i] = x
-            dec = np.asarray(lte_conv_decode_batch(jnp.asarray(batch)))
+            # np input: the decoder pads/tiles/unpads host-side so no
+            # eager device op depends on this cycle's job count.
+            dec = np.asarray(lte_conv_decode_batch(batch))
             again = False
             for (ctx, cell, win, popped), c_est in zip(jobs, dec):
                 ok = _mib_check(cell, c_est.astype(np.uint8))
