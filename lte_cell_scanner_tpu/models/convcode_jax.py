@@ -237,7 +237,8 @@ def _decode_batch_pallas_jit():
 
 
 def lte_conv_decode_batch(d_llr: jnp.ndarray) -> jnp.ndarray:
-    """Decode a batch: (B, 3, n) LLRs -> (B, n) bits. Routes to the
+    """Decode a batch: (B, 3, n) LLRs -> (B, n) bits (a NumPy array for
+    NumPy input, a jnp array for traced/device input). Routes to the
     VMEM-resident Pallas kernel (models/viterbi_pallas.py, bit-identical
     decodes) on accelerator backends. The batch always runs as 128-row
     tiles of ONE compiled (128, 3, n) program: a fresh Mosaic compile

@@ -10,11 +10,13 @@ through the tunneled chip: N data-dependent iterations chained inside
 one jitted `lax.scan`, per-iteration latency = slope between two chain
 lengths (see tools/bench_scan.py).
 
-Variants (kwargs of models/convcode_jax._decode_one):
-  unroll    — fully unroll the three 10-step trellis scans (XLA fuses
-              across chunks instead of paying the loop's per-step sync)
-  onehot_tb — one-hot contractions instead of the traceback's batched
-              gathers (scalar-bound on TPU)
+Variants:
+  loop_gather — the XLA scan trellis with gather traceback
+  loop_onehot — + one-hot traceback contractions (the XLA default;
+                unroll variants measured a wash or worse — see
+                _decode_one's docstring)
+  pallas      — the VMEM-resident kernel (models/viterbi_pallas.py);
+                measured 0.59 vs 1.27 ms at the 768-decode batch
 
 Reference workload: src/searcher.cpp:1438-1542 (decode_mib's per-
 hypothesis viterbi loop); here it is one batched device program.
