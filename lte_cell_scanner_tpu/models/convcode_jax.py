@@ -84,6 +84,15 @@ def _decode_one(d_llr, unroll=False, onehot_tb=True):
     single-start replay with the identical tie-breaking (m1 > m0)
     reproduces the same survivor path with an (n, 64) stack.
 
+    Tie semantics: the fused K-step path below (and the Pallas kernel's
+    identical rule) breaks EXACT metric ties by argmax over the 2^K
+    chain index — lexicographically earliest chain — which is not the
+    host decoder's per-step `m1 > m0` greedy rule (convcode.py). Both
+    resolve to *an* ML path; decodes match the host path bit-for-bit
+    for tie-free LLRs (generic floats — every real/bench input), and
+    the MIB CRC guards production against the degenerate all-tied case
+    (e.g. zeroed LLRs), where the decoded bits may legitimately differ.
+
     ``unroll``/``onehot_tb`` exist so tools/bench_viterbi.py can time
     the variants back-to-back in one process (CLAUDE.md: slope noise is
     ±20% across processes). Measured at the 768-decode MIB batch on the
@@ -239,8 +248,9 @@ def _decode_batch_pallas_jit():
 def lte_conv_decode_batch(d_llr: jnp.ndarray) -> jnp.ndarray:
     """Decode a batch: (B, 3, n) LLRs -> (B, n) bits (a NumPy array for
     NumPy input, a jnp array for traced/device input). Routes to the
-    VMEM-resident Pallas kernel (models/viterbi_pallas.py, bit-identical
-    decodes) on accelerator backends. The batch always runs as 128-row
+    VMEM-resident Pallas kernel (models/viterbi_pallas.py; decodes are
+    bit-identical to this module — and to the host decoder for tie-free
+    LLRs, see _decode_one) on accelerator backends. The batch always runs as 128-row
     tiles of ONE compiled (128, 3, n) program: a fresh Mosaic compile
     through the tunnel costs minutes, and callers' batch sizes vary
     cycle-to-cycle (the extra per-tile dispatches are async and cheap)."""

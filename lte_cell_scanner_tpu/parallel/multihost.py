@@ -356,51 +356,45 @@ def measure_sweep_scaling(n_procs: int = 2, b_per_proc: int = 8,
                           n_meas: int = 3) -> dict:
     """MEASURE capture-sharded fc-sweep throughput at 1 vs N hosts.
 
-    Backs BASELINE.md's ">=0.9 linear samples/s scaling 1 -> 2 hosts"
-    with wall-clock measurements from real ``jax.distributed``
-    multi-process runs (gloo over localhost):
+    Backs BASELINE.md's ">=0.9 samples/s scaling 1 -> 2 hosts" — a
+    WEAK-scaling metric: both legs sweep the SAME per-host batch
+    ``b_per_proc`` (see _measure_sweep_once; a strong-scaling 1-host
+    leg sweeping N*b captures has an N-times-larger working set whose
+    cache behavior on this one-core box read as impossible super-linear
+    scaling) — with wall-clock measurements from real
+    ``jax.distributed`` multi-process runs (gloo over localhost):
 
-    - a 1-process run sweeping the WHOLE batch gives T1 directly;
-    - an N-process run gives each host's t_self for ITS captures and
-      the cross-host barrier cost t_comm. This machine has one CPU
-      core, so the N processes compute in barrier-coordinated turns
-      (waiters sleep in a blocking gloo read) — each t_self is a real
-      full-core wall-clock, exactly what an N-core/N-host deployment
-      would run concurrently, because the capture axis needs ZERO
-      cross-host traffic during compute (the only shared step is the
-      host-level cell-list merge). T_N = max_p(t_self) + t_comm.
+    - a 1-process run sweeping b_per_proc captures gives T1;
+    - an N-process run gives each host's t_self for ITS b_per_proc
+      captures and the cross-host barrier cost t_comm. This machine has
+      one CPU core, so the N processes compute in barrier-coordinated
+      turns (waiters sleep in a blocking gloo read) — each t_self is a
+      real full-core wall-clock, exactly what an N-core/N-host
+      deployment would run concurrently, because the capture axis needs
+      ZERO cross-host traffic during compute (the only shared step is
+      the host-level cell-list merge). T_N = max_p(t_self) + t_comm;
+      scaling = rate_N / (N * rate_1) with rate_N over N*b samples.
 
     Wall-clock samples on a timeshared core are noisy in both
     directions (transient load during the 1-host leg reads as
     super-linear scaling, load during the N-host leg as sub-linear), so
-    the estimator is the MEDIAN of ``n_meas`` full measurements — a
-    plain order statistic, not a selection rule — and every sample's
-    scaling is returned in ``scaling_samples`` for auditability.
+    the estimator is the MEDIAN of TWO full ``n_meas``-sample sets
+    pooled (2*n_meas samples total) — a plain order statistic with a
+    fixed, unconditional stopping rule (no pass/fail-band rerun
+    trigger, which would inflate pass probability at the margin); every
+    sample's scaling ships in ``scaling_samples`` for auditability.
 
-    Returns the median measurement's dict ({"samples_per_sec_1host",
-    "samples_per_sec_nhost_total", "scaling", ...};
-    scaling = T1 / (N * T_N)) plus ``scaling_samples``.
+    Returns the pooled-median measurement's dict
+    ({"samples_per_sec_1host", "samples_per_sec_nhost_total",
+    "scaling", ...}) plus ``scaling_samples`` (all 2*n_meas values).
     """
-    def median_of_n():
-        meas = [_measure_sweep_once(n_procs, b_per_proc,
-                                    devices_per_proc, n_f, n_cap, reps,
-                                    timeout)
-                for _ in range(max(1, n_meas))]
-        meas.sort(key=lambda m: m["scaling"])
-        return dict(meas[len(meas) // 2],
-                    scaling_samples=[m["scaling"] for m in meas])
-
-    res = median_of_n()
-    # Predeclared rerun rule (an estimator, not a selection): a median
-    # OUTSIDE [0.9, 1.25] means sustained box load biased one leg of
-    # most samples (super-linear scaling is physically impossible for
-    # this zero-communication workload; sub-0.9 contradicts every
-    # unloaded measurement) — rerun the whole set once and take the new
-    # median unconditionally, keeping both sample lists visible.
-    if not 0.9 <= res["scaling"] <= 1.25:
-        first = res["scaling_samples"]
-        res = median_of_n()
-        res["scaling_samples_discarded_run"] = first
+    meas = [_measure_sweep_once(n_procs, b_per_proc, devices_per_proc,
+                                n_f, n_cap, reps, timeout)
+            for _ in range(2 * max(1, n_meas))]
+    meas.sort(key=lambda m: m["scaling"])
+    # Even pool: the lower-middle order statistic (conservative median).
+    res = dict(meas[(len(meas) - 1) // 2],
+               scaling_samples=[m["scaling"] for m in meas])
     if verbose:
         print(f"multihost sweep scaling: {res}")
     return res

@@ -45,7 +45,9 @@ def plot_trace(y, x=None, *, x_min: float, x_max: float, x_tick: float,
     order = np.argsort(x)
     ys = np.interp(xs, x[order], y[order], left=np.nan, right=np.nan)
     ys = np.where((xs >= x.min()) & (xs <= x.max()), ys, np.nan)
-    y_scale = (y_max - y_min) / (plot_h - 1)
+    # Degenerate ranges (e.g. a length-1 ac_td trace gives x_max==x_min
+    # from the curses view's (n-1)*0.0005 formula) must not divide by 0.
+    y_scale = max(y_max - y_min, 1e-12) / (plot_h - 1)
     prev_row = None
     for t in range(plot_w):
         if not np.isfinite(ys[t]):
@@ -82,7 +84,7 @@ def plot_trace(y, x=None, *, x_min: float, x_max: float, x_tick: float,
         lines.append(gut + "".join(grid[r]))
     axis = [" "] * plot_w
     tx = math.ceil(x_min / x_tick) * x_tick
-    x_scale = (x_max - x_min) / (plot_w - 1)
+    x_scale = max(x_max - x_min, 1e-12) / (plot_w - 1)
     while tx <= x_max + 1e-9:
         c = int(round((tx - x_min) / x_scale))
         if 0 <= c <= plot_w - 1:

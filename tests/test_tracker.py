@@ -200,3 +200,18 @@ def test_curses_display_renderer(sim_signal):
     handle_key(ui, "?", 1)
     frame = "\n".join(render_frame(trk, ui))
     assert "keys:" in frame
+
+
+def test_plot_trace_degenerate_range():
+    """A length-1 trace (x_max == x_min, e.g. the curses ac_td view's
+    (n-1)*0.0005 upper bound at n=1) must render, not divide by zero
+    (ADVICE r4: display.py x_scale/y_scale guards)."""
+    from lte_cell_scanner_tpu.tracker.display import plot_trace
+
+    out = plot_trace([0.5], x_min=0.0, x_max=0.0, x_tick=1.0,
+                     y_min=0.0, y_max=1.0, y_tick=0.5)
+    assert "*" in out
+    # Degenerate y range too (flat trace with y_max == y_min).
+    out = plot_trace([1.0, 1.0], x_min=0.0, x_max=1.0, x_tick=0.5,
+                     y_min=1.0, y_max=1.0, y_tick=1.0)
+    assert isinstance(out, str) and out
