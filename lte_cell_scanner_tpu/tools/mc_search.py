@@ -145,6 +145,72 @@ def run_mc(trials: int, snr_db: Optional[float], fading: bool = False,
     return stats
 
 
+def wilson_lower(k: int, n: int, z: float = 1.96) -> float:
+    """95% Wilson-score lower bound on a binomial proportion (no scipy:
+    the artifact's confidence bounds must not depend on an optional
+    dependency)."""
+    if n == 0:
+        return 0.0
+    p = k / n
+    d = 1.0 + z * z / n
+    center = p + z * z / (2 * n)
+    rad = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return max(0.0, (center - rad) / d)
+
+
+def run_sweep_artifact(snrs, trials: int, ppm: float = 10.0,
+                       seed: int = 0, backend: str = "jax",
+                       fading: bool = False, path: Optional[str] = None,
+                       verbose: int = 1) -> dict:
+    """Run the SNR sweep and emit the committed statistical-floor
+    artifact (MC_rNN.json): per-point trial counts, detection / MIB
+    success rates with 95% Wilson lower bounds, false-alarm counts and
+    median frequency error — the evidence behind the floor-parity claim
+    vs the reference's documented sync ~-12 dB / MIB ~-10 dB AWGN
+    floors (src/searcher.cpp:99-104; derivation
+    Matlab/pss_search_final.m:207-255). Checkpoints after every SNR
+    point so a wedged TPU tunnel can't destroy finished points."""
+    import json
+
+    art = {"metric": "mc_detection_floor",
+           "trials_per_point": trials, "ppm": ppm, "seed": seed,
+           "backend": backend, "fading": fading,
+           "reference": "src/searcher.cpp:99-104 (sync ~-12 dB AWGN, "
+                         "MIB ~-10 dB); Matlab/pss_search_final.m",
+           "points": []}
+    for snr in snrs:
+        t0 = time.perf_counter()
+        st = run_mc(trials, snr, fading=fading, backend=backend,
+                    seed=seed, ppm=ppm, verbose=0)
+        pt = {"snr_db": snr, "trials": st.trials,
+              "detections": st.detections,
+              "mib_successes": st.mib_successes,
+              "false_cells": st.false_cells,
+              "detect_rate": round(st.detections / st.trials, 4),
+              "mib_rate": round(st.mib_successes / st.trials, 4),
+              "detect_rate_wilson95_lo": round(
+                  wilson_lower(st.detections, st.trials), 4),
+              "mib_rate_wilson95_lo": round(
+                  wilson_lower(st.mib_successes, st.trials), 4),
+              "freq_err_med_hz": (round(float(np.median(st.freq_errs)), 2)
+                                  if st.freq_errs else None),
+              "elapsed_s": round(time.perf_counter() - t0, 1)}
+        art["points"].append(pt)
+        if verbose:
+            print(f"{snr:7.1f} dB: detect {pt['detect_rate']:.0%} "
+                  f"(>={pt['detect_rate_wilson95_lo']:.0%} w95), MIB "
+                  f"{pt['mib_rate']:.0%}, false {pt['false_cells']}, "
+                  f"{pt['elapsed_s']} s", flush=True)
+        if path:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(art, f, indent=1)
+            import os
+
+            os.replace(tmp, path)
+    return art
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--trials", type=int, default=20)
@@ -154,6 +220,10 @@ def main(argv=None):
                     help="comma-separated SNRs; validates the detection "
                          "floor (reference claims sync ~-12 dB, MIB "
                          "~-10 dB, src/searcher.cpp:99-104)")
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="with --snr-sweep: write the JSON floor "
+                         "artifact (e.g. MC_r05.json) with Wilson 95%% "
+                         "bounds, checkpointed per SNR point")
     ap.add_argument("--fading", action="store_true")
     ap.add_argument("--backend", default="jax", choices=["numpy", "jax"])
     ap.add_argument("--ppm", type=float, default=30.0)
@@ -161,8 +231,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.snr_sweep:
+        snrs = [float(s) for s in args.snr_sweep.split(",")]
+        if args.artifact:
+            run_sweep_artifact(snrs, args.trials, ppm=args.ppm,
+                               seed=args.seed, backend=args.backend,
+                               fading=args.fading, path=args.artifact)
+            return
         print("SNR(dB)  detect   MIB      false")
-        for snr in (float(s) for s in args.snr_sweep.split(",")):
+        for snr in snrs:
             st = run_mc(args.trials, snr, fading=args.fading,
                         backend=args.backend, seed=args.seed, ppm=args.ppm,
                         verbose=0)
