@@ -325,7 +325,11 @@ class MibPlan:
       the i16 view is free);
     - the per-cell RS/scrambler/comb-shift tables don't ship AT ALL:
       the device holds all 504 cells' tables (see _dev_cell_tables) and
-      picks rows by the uploaded n_id with one-hot MXU matmuls.
+      picks rows by the uploaded n_id with one-hot MXU matmuls;
+    - the whole plan crosses the link as TWO arrays (_pack_plan: one
+      uint8 byte buffer for the integer lanes + one (3, B) f32), not
+      nine device_puts — each put is a separate link transaction on a
+      tunneled chip and stretches a pipelined sweep's in-flight upload.
     """
 
     n_symb_dl: int
@@ -427,8 +431,43 @@ def mib_plan(cells: Sequence[Cell], n_cap: int, fc_requested: float,
     return p
 
 
+def _pack_plan(plan: MibPlan):
+    """MibPlan -> (uint8 buffer, (3, B) f32): the whole per-batch plan
+    as TWO link transactions instead of nine device_puts (each put is a
+    separate round trip on a tunneled chip, and the dispatch phase's
+    puts interleave with — and stretch — the pipelined sweep's in-flight
+    capture upload). Integer lanes go as little-endian bytes; the device
+    rebuilds them arithmetically (_u8_as_i32/_u8_as_i16, exact)."""
+    u8 = np.frombuffer(b"".join([
+        plan.start0.astype("<i4").tobytes(),
+        plan.sdelta.astype(np.uint8).tobytes(),
+        plan.phase0_q.astype("<i2").tobytes(),
+        plan.late_q.astype("<i2").tobytes(),
+        plan.base.astype("<i4").tobytes(),
+        plan.n_id.astype("<i4").tobytes()]), np.uint8)
+    f32 = np.stack([plan.inwin, plan.omk_base, plan.inv_fcp]
+                   ).astype(np.float32)
+    return u8, f32
+
+
 # ----------------------------------------------------------------------
 # Device program pieces.
+
+
+def _u8_as_i32(seg, shape):
+    """Little-endian u8 quads -> i32 (NON-NEGATIVE values only: the
+    packed lanes are sample indices / cell IDs < 2^31, so the high byte
+    never carries the sign and the shift-or is exact)."""
+    b = seg.reshape(shape + (4,)).astype(jnp.int32)
+    return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) \
+        | (b[..., 3] << 24)
+
+
+def _u8_as_i16(seg, shape):
+    """Little-endian u8 pairs -> sign-extended i16 values (as i32)."""
+    b = seg.reshape(shape + (2,)).astype(jnp.int32)
+    v = b[..., 0] | (b[..., 1] << 8)
+    return v - ((v >> 15) << 16)
 
 
 def _sel6(x, shift):
@@ -652,15 +691,37 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
         return sum(jnp.sum(v).astype(jnp.float32) for v in vals)
 
     @jax.jit
-    def run(cap, start0, sdelta, phase0_q, inwin, late_q, base, n_id,
-            rs_tab, shifts_tab, scr_tab, omk_base, inv_fcp):
-        # Unpack the link-compressed plan (see MibPlan). Integer starts
-        # from the u8 deltas (exact: i32 cumsum) over the FULL symbol
-        # grid, then a static column gather down to the compact
-        # consumed-row layout; fixed-point phases and lateness back to
-        # f32.
+    def run(cap, plan_u8, plan_f32, rs_tab, shifts_tab, scr_tab):
+        # Unpack the link-compressed plan (see MibPlan/_pack_plan): the
+        # whole per-batch plan crosses the link as ONE uint8 buffer +
+        # one (3, B) f32 array instead of nine separate device_puts —
+        # on the tunneled chip each put is a separate link transaction,
+        # and the dispatch phase's puts interleave with (and stretch)
+        # the pipelined schedule's in-flight capture upload. Integer
+        # lanes are rebuilt arithmetically from little-endian bytes
+        # (exact; portable, unlike a bitcast, across host/device byte
+        # orders): starts from the u8 deltas (exact i32 cumsum) over
+        # the FULL symbol grid, then a static column gather down to the
+        # compact consumed-row layout; fixed-point phases and lateness
+        # back to f32.
+        B_ = plan_f32.shape[1]
+        o = 0
+
+        def cut(n):
+            nonlocal o
+            seg = jax.lax.slice_in_dim(plan_u8, o, o + n)
+            o += n
+            return seg
+
+        start0 = _u8_as_i32(cut(4 * B_), (B_,))
+        sdelta = cut(B_ * n_ofdm).reshape(B_, n_ofdm).astype(jnp.int32)
+        phase0_q = _u8_as_i16(cut(2 * B_ * n_ofdm), (B_, n_ofdm))
+        late_q = _u8_as_i16(cut(2 * B_ * n_ofdm), (B_, n_ofdm))
+        base = _u8_as_i32(cut(4 * B_), (B_,))
+        n_id = _u8_as_i32(cut(4 * B_), (B_,))
+        inwin, omk_base, inv_fcp = (plan_f32[0], plan_f32[1], plan_f32[2])
         starts = jnp.take(start0[:, None] + jnp.cumsum(
-            sdelta.astype(jnp.int32), axis=1), idx_c, axis=1)
+            sdelta, axis=1), idx_c, axis=1)
         phase0 = jnp.take(phase0_q, idx_c, axis=1).astype(
             jnp.float32) * np.float32(2.0 * np.pi / 65536.0)
         late = jnp.take(late_q, idx_c, axis=1).astype(
@@ -945,9 +1006,8 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
     run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
                       use_pallas=_pallas_default())
     rs_tab, shifts_tab, scr_tab = _dev_cell_tables(cells[0].cp_type)
-    out = run(cap_dev, plan.start0, plan.sdelta, plan.phase0_q,
-              plan.inwin, plan.late_q, plan.base, plan.n_id,
-              rs_tab, shifts_tab, scr_tab, plan.omk_base, plan.inv_fcp)
+    plan_u8, plan_f32 = _pack_plan(plan)
+    out = run(cap_dev, plan_u8, plan_f32, rs_tab, shifts_tab, scr_tab)
     pending = MibPending(out, plan, list(cells))
     if defer:
         try:

@@ -334,6 +334,64 @@ def _ml_lls(est, np12, tables):
     return -s_term[:, None] + 2.0 * (cwr * cr + cwi * ci) / mag
 
 
+def _pack_sync_plan(plan):
+    """SyncPlan -> (i32 buffer, f32 buffer): the whole per-batch plan as
+    TWO link transactions instead of eleven device_puts (each put is a
+    separate round trip on a tunneled chip, and a pipelined sweep's
+    dispatch-phase puts interleave with — and stretch — the in-flight
+    capture upload; see ops/mib_jax._pack_plan for the same trick)."""
+    i32 = np.concatenate([
+        plan.pss_idx.reshape(-1), plan.n_id_2.reshape(-1),
+        plan.foe_pss.reshape(-1), plan.foe_sss.reshape(-1),
+        plan.foe_seq.reshape(-1)]).astype(np.int32)
+    f32 = np.concatenate([
+        plan.rep_mask.reshape(-1), plan.foc.reshape(-1),
+        plan.inv_fs.reshape(-1), plan.foe_mask.reshape(-1),
+        plan.foe_phase.reshape(-1), plan.foe_conv.reshape(-1)
+    ]).astype(np.float32)
+    return i32, f32
+
+
+@functools.partial(jax.jit, static_argnames=("n_rep", "n_sss"))
+def _sync_device_packed(cap, plan_i32, plan_f32, thresh2_n_sigma, *,
+                        n_rep=N_REP, n_sss=N_SSS):
+    """Unpack the two plan buffers (static slices — shapes are fixed
+    multiples of the bucketed B) and run the sync program. ``n_rep`` /
+    ``n_sss`` are the plan's (capture-length-dependent — see _n_rep_for)
+    repetition-axis sizes, static so the slices stay constant."""
+    N_REP, N_SSS = n_rep, n_sss          # shadow the 80 ms defaults
+    per_i = N_REP + 1 + 3 * (4 * N_SSS)
+    B = plan_i32.shape[0] // per_i
+    cur = {"i": 0, "f": 0}
+
+    def cut_i(shape):
+        n = int(np.prod(shape))
+        seg = jax.lax.slice_in_dim(plan_i32, cur["i"], cur["i"] + n)
+        cur["i"] += n
+        return seg.reshape(shape)
+
+    def cut_f(shape):
+        n = int(np.prod(shape))
+        seg = jax.lax.slice_in_dim(plan_f32, cur["f"], cur["f"] + n)
+        cur["f"] += n
+        return seg.reshape(shape)
+
+    pss_idx = cut_i((B, N_REP))
+    n_id_2 = cut_i((B,))
+    foe_pss = cut_i((B, 2, 2, N_SSS))
+    foe_sss = cut_i((B, 2, 2, N_SSS))
+    foe_seq = cut_i((B, 2, 2, N_SSS))
+    rep_mask = cut_f((B, N_REP))
+    foc = cut_f((B,))
+    inv_fs = cut_f((B,))
+    foe_mask = cut_f((B, 2, 2, N_SSS))
+    foe_phase = cut_f((B, 2, 2))
+    foe_conv = cut_f((B, 2))
+    return _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2,
+                        foe_pss, foe_sss, foe_mask, foe_seq, foe_phase,
+                        foe_conv, thresh2_n_sigma)
+
+
 @jax.jit
 def _sync_device(cap, pss_idx, rep_mask, foc, inv_fs, n_id_2, foe_pss,
                  foe_sss, foe_mask, foe_seq, foe_phase, foe_conv,
@@ -485,11 +543,11 @@ def sss_foe_batch(cells: List[Cell], capbuf, fc_requested: float,
         n_cap = cap_dev.shape[0]
     plan = sync_plan(cells, n_cap, fc_requested, fc_programmed,
                      fs_programmed, cap_bases=cap_bases)
-    out = _sync_device(cap_dev, plan.pss_idx, plan.rep_mask, plan.foc,
-                       plan.inv_fs, plan.n_id_2, plan.foe_pss,
-                       plan.foe_sss, plan.foe_mask, plan.foe_seq,
-                       plan.foe_phase, plan.foe_conv,
-                       np.float32(thresh2_n_sigma))
+    plan_i32, plan_f32 = _pack_sync_plan(plan)
+    out = _sync_device_packed(cap_dev, plan_i32, plan_f32,
+                              np.float32(thresh2_n_sigma),
+                              n_rep=plan.pss_idx.shape[1],
+                              n_sss=plan.foe_pss.shape[-1])
     pending = SyncPending(out, plan, list(cells))
     if defer:
         try:

@@ -147,11 +147,13 @@ def main(argv=None):
 
     tabs = _dev_cell_tables(cells64[0].cp_type)
 
+    from lte_cell_scanner_tpu.ops.mib_jax import _pack_plan
+
+    mp_u8, mp_f32 = _pack_plan(mp)
+
     def mib_body_for(run):
         def body(c, run=run):
-            out = run(c, mp.start0, mp.sdelta, mp.phase0_q, mp.inwin,
-                      mp.late_q, mp.base, mp.n_id, *tabs,
-                      mp.omk_base, mp.inv_fcp)
+            out = run(c, mp_u8, mp_f32, *tabs)
             return jnp.sum(out).astype(jnp.float32)
         return body
 

@@ -115,10 +115,11 @@ def test_mib_pallas_fused_extract_matches_xla(real_peaks):
     plan = mib_plan(alive, len(cap), fc, fc, 1.92e6)
     cap_dev = jnp.asarray(
         np.stack([cap.real, cap.imag], -1).astype(np.float32))
+    from lte_cell_scanner_tpu.ops.mib_jax import _pack_plan
+
     rs, sh, sc = _dev_cell_tables(alive[0].cp_type)
-    args = (cap_dev, plan.start0, plan.sdelta, plan.phase0_q, plan.inwin,
-            plan.late_q, plan.base, plan.n_id, rs, sh, sc,
-            plan.omk_base, plan.inv_fcp)
+    plan_u8, plan_f32 = _pack_plan(plan)
+    args = (cap_dev, plan_u8, plan_f32, rs, sh, sc)
     out_x = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit)(*args)
     out_p = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
                         use_pallas=True, interpret=True)(*args)
