@@ -11,7 +11,9 @@ program runs EVERY surviving candidate of a capture:
   outer products — over the COMPACT consumed-row grid only (394 of the
   854 normal-CP rows: RS rows, sym-1 rows and the 7x4 PBCH rows; the
   reference's full extract_tfg grid, src/searcher.cpp:852-935, is
-  mostly never read by the MIB chain);
+  mostly never read by the MIB chain). Device consumers that DO need
+  other rows (PCFICH/PDSCH work) get the full 854-row grid from
+  :func:`extract_tfg_batch` (same program, full row set);
 - superfine FOE/TOE and the grid compensations are batched RS gathers;
 - channel estimation uses the separable freq-then-time linear
   interpolator (ce_interp_freq_time — the reference documents all three
@@ -638,13 +640,22 @@ def _sfbc_dev(pbch_sym, pbch_ce, np_v):
 
 def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
                       stage: str = None, use_pallas: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False, full_grid: bool = False,
+                      stage_raw: bool = False):
     """Compile-cached device program for one CP geometry.
 
     ``stage`` (instrumentation only — tools/bench_decode.py): cut the
     program after the named milestone and return a reduced f32 scalar,
     so chained-scan timing can attribute device time per stage. None
     (production) runs the full program.
+
+    ``full_grid`` demodulates EVERY OFDM row (the reference's complete
+    6-frame+2-slot extract_tfg grid, src/searcher.cpp:852-935) instead
+    of the compact consumed-row layout — for device consumers beyond
+    the MIB chain (PCFICH/PDSCH work); only the ``tfg`` stage cut is
+    meaningful there (the compact block offsets don't apply), so it
+    requires ``stage="tfg"``. ``stage_raw`` returns the stage's actual
+    array(s) instead of the benchmark's reduced scalar.
 
     ``use_pallas`` runs the extract_tfg stage (blend + FOC + 128->72
     DFT + fractional-timing ramp for every consumed symbol window — the
@@ -678,17 +689,25 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
     # DFTs and bulk rotations are the MIB program's dominant cost.
     # Values at consumed rows are IDENTICAL to the full-grid program.
     rows0 = np.arange(n_slot) * n_symb_dl
-    rows_used = np.concatenate(
-        [rows0, rows0 + n_symb_dl - 3, rows0 + 1,
-         np.asarray(rows_sel)]).astype(np.int32)
+    if full_grid:
+        assert stage in ("tfg", "wins"), "full_grid: extract stages only"
+        rows_used = np.arange(n_ofdm, dtype=np.int32)
+    else:
+        rows_used = np.concatenate(
+            [rows0, rows0 + n_symb_dl - 3, rows0 + 1,
+             np.asarray(rows_sel)]).astype(np.int32)
     o1, o2, o3 = n_slot, 2 * n_slot, 3 * n_slot
     idx_c = jnp.asarray(rows_used)
 
     def rot_pair(ang):
         return jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1)
 
-    def _cut(*vals):
-        return sum(jnp.sum(v).astype(jnp.float32) for v in vals)
+    if stage_raw:
+        def _cut(*vals):
+            return vals[0] if len(vals) == 1 else vals
+    else:
+        def _cut(*vals):
+            return sum(jnp.sum(v).astype(jnp.float32) for v in vals)
 
     @jax.jit
     def run(cap, plan_u8, plan_f32, rs_tab, shifts_tab, scr_tab):
@@ -931,9 +950,11 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
 @functools.lru_cache(maxsize=16)
 def _mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
                 stage: str = None, use_pallas: bool = False,
-                interpret: bool = False):
+                interpret: bool = False, full_grid: bool = False,
+                stage_raw: bool = False):
     return _build_mib_device(n_symb_dl, n_ofdm, m_bit, stage,
-                             use_pallas, interpret)
+                             use_pallas, interpret, full_grid,
+                             stage_raw)
 
 
 def _pallas_default() -> bool:
@@ -1016,6 +1037,55 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
             pass
         return pending
     return finish_mib_batch(pending)
+
+
+def extract_tfg_batch(cells: List[Cell], capbuf, fc_requested: float,
+                      fc_programmed: float, fs_programmed: float,
+                      cap_dev=None, n_cap: int = None,
+                      cap_bases: Sequence[int] = None):
+    """Device-batched FULL-grid extract_tfg: every OFDM row of the
+    reference's 6-frame+2-slot grid (854 symbols normal CP / 732
+    extended, src/searcher.cpp:852-935), demodulated on device for a
+    batch of same-CP cells — the device-side counterpart of the f64
+    host path in ops/tfg.py (which remains the golden reference), for
+    consumers beyond the MIB chain (PCFICH/PDSCH work). The MIB chain
+    itself keeps the compact consumed-row layout (2.2x fewer window
+    DFTs); values at shared rows are identical math.
+
+    Returns (tfg (B, n_ofdm, 72) complex64, tfg_timestamp (B, n_ofdm)
+    f64, ok (B,) bool) — rows of cells whose grid exceeds the capture
+    are flagged ok=False (host contract: MIB failure)."""
+    if not cells:
+        return (np.zeros((0, 0, 72), np.complex64),
+                np.zeros((0, 0)), np.zeros(0, bool))
+    if cap_dev is None:
+        capbuf = np.asarray(capbuf)
+        cap_dev = jnp.asarray(
+            np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
+        n_cap = len(capbuf)
+    elif n_cap is None:
+        n_cap = cap_dev.shape[0]
+    plan = mib_plan(cells, n_cap, fc_requested, fc_programmed,
+                    fs_programmed, cap_bases=cap_bases)
+    run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
+                      stage="tfg", use_pallas=_pallas_default(),
+                      full_grid=True, stage_raw=True)
+    rs_tab, shifts_tab, scr_tab = _dev_cell_tables(cells[0].cp_type)
+    plan_u8, plan_f32 = _pack_plan(plan)
+    out = np.asarray(run(cap_dev, plan_u8, plan_f32, rs_tab, shifts_tab,
+                         scr_tab))[:len(cells)]       # (B, n_ofdm, 72, 2)
+    tfg = out[..., 0] + 1j * out[..., 1]
+    # Host-f64 timestamps (the same contract as ops/tfg.extract_tfg's
+    # second return; single-sourced in ops/tfg.symbol_timestamps_batch).
+    from lte_cell_scanner_tpu.ops.tfg import symbol_timestamps_batch
+
+    k = np.array([(c.fc_requested - c.freq_fine) / c.fc_programmed
+                  for c in cells])
+    ts = symbol_timestamps_batch(
+        cells[0].cp_type,
+        np.array([c.frame_start for c in cells]),
+        np.array([c.fs_programmed for c in cells]), k)
+    return tfg.astype(np.complex64), ts, plan.ok[:len(cells)].copy()
 
 
 def finish_mib_batch(pending: MibPending) -> List[Cell]:

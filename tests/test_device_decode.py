@@ -300,3 +300,28 @@ def test_device_sync_long_capture_uses_all_reps():
             assert g.cp_type == w.cp_type
             assert abs(g.frame_start - w.frame_start) < 1e-6
             assert abs(g.freq_fine - w.freq_fine) < 1.0
+
+
+def test_device_full_tfg_matches_host(real_peaks):
+    """Device-batched FULL-grid extract_tfg (mib_jax.extract_tfg_batch,
+    every row of the reference's 6-frame+2-slot grid,
+    src/searcher.cpp:852-935) matches the f64 host path (ops/tfg.py) to
+    f32 + i16-phase-quantization tolerance — closing the compact-grid
+    divergence for device consumers beyond the MIB chain."""
+    from lte_cell_scanner_tpu.ops.mib_jax import extract_tfg_batch
+    from lte_cell_scanner_tpu.ops.tfg import extract_tfg
+
+    cap, fc, peaks = real_peaks
+    synced = sss_foe_batch(peaks, cap, fc, fc, 1.92e6, THRESH2_N_SIGMA)
+    alive = [c for c in synced if c.n_id_1 >= 0]
+    assert len(alive) >= 2
+    tfg_d, ts_d, ok = extract_tfg_batch(alive, cap, fc, fc, 1.92e6)
+    assert ok.all()
+    assert tfg_d.shape[1] == 854              # normal CP full grid
+    for b, c in enumerate(alive):
+        tfg_h, ts_h = extract_tfg(c, cap, fc, fc, 1.92e6)
+        assert tfg_d.shape[1:] == tfg_h.shape
+        np.testing.assert_allclose(ts_d[b], ts_h, rtol=0, atol=1e-9)
+        scale = np.abs(tfg_h).max()
+        np.testing.assert_allclose(tfg_d[b], tfg_h, rtol=0,
+                                   atol=2e-3 * scale)
