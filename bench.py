@@ -382,13 +382,16 @@ def main():
     # so every sample is a full steady-state batch.
     from concurrent.futures import ThreadPoolExecutor
 
+    DISPATCH_FIRST = os.environ.get("LTE_BENCH_DISPATCH_FIRST",
+                                    "0") != "0"
+
     def _async_copy(a):
         try:
             a.copy_to_host_async()
         except Exception:   # backend without async copies
             pass
 
-    def run_pipelined(defer_sync):
+    def run_pipelined(defer_sync, dispatch_first=None):
         """-> {"median_ms", "min_ms", "batches_ms", "decoded",
         "profile"}: per-fc wall of each of the REPS STEADY-STATE
         batches (fill iterations untimed; a tunnel stall poisons ONE
@@ -404,6 +407,8 @@ def main():
         depth = 4 if defer_sync else 2
         warm = depth - 1
         iters = REPS + warm + 1    # +1: last stamped iter still uploads
+        if dispatch_first is None:
+            dispatch_first = DISPATCH_FIRST
 
         with ThreadPoolExecutor(1) as ex, ThreadPoolExecutor(3) as fex, \
                 ThreadPoolExecutor(1) as pex:
@@ -496,19 +501,34 @@ def main():
                     synced = collect_sync(*sync_dispatch_batch(tables,
                                                                fl))
                     PHASE["sync_inline"] += time.time() - t1
-                # ---- upload phase (chunked, in the uploader thread).
-                if i + 1 < iters:
-                    fut = ex.submit(put_chunked, u8)
-                # ---- dispatch phase (async; overlaps the upload).
-                t1 = time.time()
-                if defer_sync:
-                    if tables is not None:
-                        sync_prev = sync_dispatch_batch(tables, fl)
-                    if synced is not None:
+                # ---- upload + dispatch phases. Order is switchable
+                # (LTE_BENCH_DISPATCH_FIRST / the AB stage below);
+                # upload-first is the measured winner (in-process A/B,
+                # two trials each way: 8.7 vs 12.0, 11.5 vs 12.8 ms/fc
+                # deep) — the ~630 KB of plan puts ride turnaround gaps
+                # under the in-flight capture upload, while serializing
+                # them onto a free link first adds their wall to the
+                # cycle.
+                def dispatch_phase():
+                    nonlocal sync_prev, mib_prev
+                    t1 = time.time()
+                    if defer_sync:
+                        if tables is not None:
+                            sync_prev = sync_dispatch_batch(tables, fl)
+                        if synced is not None:
+                            mib_prev = mib_dispatch_synced(*synced)
+                    else:
                         mib_prev = mib_dispatch_synced(*synced)
+                    PHASE["dispatch_phase"] += time.time() - t1
+
+                if dispatch_first:
+                    dispatch_phase()
+                    if i + 1 < iters:
+                        fut = ex.submit(put_chunked, u8)
                 else:
-                    mib_prev = mib_dispatch_synced(*synced)
-                PHASE["dispatch_phase"] += time.time() - t1
+                    if i + 1 < iters:
+                        fut = ex.submit(put_chunked, u8)
+                    dispatch_phase()
                 if i + 1 < iters:
                     t1 = time.time()
                     put_out = fut.result()
@@ -657,6 +677,16 @@ def main():
     deep0 = attempt("deep", tel0)
     render(res)
     _checkpoint(res)
+    if os.environ.get("LTE_BENCH_AB_ORDER"):
+        # Back-to-back schedule-order A/B in ONE process (the tunnel's
+        # effective in-pipeline rate drifts by the hour, so separate
+        # runs are confounded — CLAUDE.md).
+        for trial in range(2):
+            for df in (True, False):
+                ab = run_pipelined(True, dispatch_first=df)
+                print(f"# AB trial {trial} dispatch_first={df}: "
+                      f"{ab['median_ms']:.2f} ms/fc {ab['batches_ms']}",
+                      flush=True)
     if real:
         # Both pipelined schedules must produce the same bit-correct
         # MIBs (the final batch's results are checked).

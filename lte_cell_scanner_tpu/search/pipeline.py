@@ -245,10 +245,17 @@ def pipelined_search_sweep(capbufs, fc_list: Sequence[float],
                 # here — behind an in-flight upload it measured worse
                 # than the serial loop at low link rates.
                 stage_sync_dispatch(chunks[ti])
-            # ---- upload phase (uploader thread).
+            # ---- upload phase (uploader thread), THEN the dispatch
+            # phase under it: the decode plans' ~630 KB of puts
+            # interleave with the chunked capture upload, but an
+            # in-process A/B (bench.py LTE_BENCH_AB_ORDER, two trials
+            # each way at the same hour) measured upload-first FASTER
+            # both times (8.7 vs 12.0, 11.5 vs 12.8 ms/fc): serializing
+            # the plan puts onto a free link first just adds their wall
+            # to the cycle, while under the upload they ride turnaround
+            # gaps the stream pays for anyway.
             if i + 1 < n_chunks:
                 fut = ex.submit(put, i + 1)
-            # ---- dispatch phase (async; overlaps the upload).
             if defer_sync and 0 <= ti < n_chunks:
                 stage_sync_dispatch(chunks[ti])
             if not defer_sync and 0 <= ti < n_chunks:
