@@ -129,34 +129,28 @@ def _kernel(llr_ref, a2_ref, bitsT_ref, out_ref, ma_ref, mb_ref,
         state = jnp.bitwise_and(state * J, S - 1) + j
 
 
-def lte_conv_decode_pallas(d_llr: jnp.ndarray,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Decode a batch: (B, 3, n) LLRs ln(P0/P1) -> (B, n) bits. n must
-    be a multiple of 4 (the MIB's 40 always is); B is padded to the
-    128-lane tile internally."""
-    B, three, n = d_llr.shape
-    assert three == 3 and n % _K == 0
-    n_steps = n // _K
+def lte_conv_decode_pallas_tl(llr_tl: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Time-major-layout entry: ``llr_tl`` (n_steps, 12, L) with L a
+    multiple of 128 — row ti*3 + coded_bit of each 4-step chunk, the
+    exact tile layout the kernel consumes. Callers that can produce it
+    directly (ops/mib_jax feeds it straight out of the deratematch
+    matmul with a row-permuted constant matrix) skip the (B, 3, n)
+    relayout chain entirely. Returns (n, L) f32 bits (lanes = batch)."""
+    n_steps, twelve, L_tot = llr_tl.shape
+    assert twelve == _K * 3 and L_tot % 128 == 0
+    n = n_steps * _K
     a2_np, bitsT_np = _tables()
-    x = d_llr.astype(jnp.float32)
-    Bp = -(-B // 128) * 128
-    if Bp != B:
-        x = jnp.concatenate(
-            [x, jnp.zeros((Bp - B, 3, n), jnp.float32)], axis=0)
-    # (B, 3, n) -> (n_steps, 12, B): chunk-major rows i*3 + coded bit,
-    # matching _chain_tables' A row order; batch on lanes.
-    llr = jnp.moveaxis(x, 1, 2).reshape(Bp, n_steps, _K * 3)
-    llr = jnp.transpose(llr, (1, 2, 0))
     S, C, J, L = N_STATES, 4, _JK, 128
 
-    bits = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, n_steps=n_steps),
-        grid=(Bp // L,),
+        grid=(L_tot // L,),
         in_specs=[pl.BlockSpec((n_steps, _K * 3, L), lambda i: (0, 0, i)),
                   pl.BlockSpec((S * J, _K * 3), lambda i: (0, 0)),
                   pl.BlockSpec((_K, S * J), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((n, L), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((n, Bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, L_tot), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, C, J, L), jnp.float32),   # ma
                         pltpu.VMEM((S, C, J, L), jnp.float32),   # mb
                         pltpu.VMEM((C, J, L), jnp.float32),      # m1
@@ -168,5 +162,25 @@ def lte_conv_decode_pallas(d_llr: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(llr, jnp.asarray(a2_np), jnp.asarray(bitsT_np))
+    )(llr_tl, jnp.asarray(a2_np), jnp.asarray(bitsT_np))
+
+
+def lte_conv_decode_pallas(d_llr: jnp.ndarray,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Decode a batch: (B, 3, n) LLRs ln(P0/P1) -> (B, n) bits. n must
+    be a multiple of 4 (the MIB's 40 always is); B is padded to the
+    128-lane tile internally."""
+    B, three, n = d_llr.shape
+    assert three == 3 and n % _K == 0
+    n_steps = n // _K
+    x = d_llr.astype(jnp.float32)
+    Bp = -(-B // 128) * 128
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, 3, n), jnp.float32)], axis=0)
+    # (B, 3, n) -> (n_steps, 12, B): chunk-major rows i*3 + coded bit,
+    # matching _chain_tables' A row order; batch on lanes.
+    llr = jnp.moveaxis(x, 1, 2).reshape(Bp, n_steps, _K * 3)
+    llr = jnp.transpose(llr, (1, 2, 0))
+    bits = lte_conv_decode_pallas_tl(llr, interpret=interpret)
     return jnp.transpose(bits)[:B].astype(jnp.int32)

@@ -666,7 +666,20 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
 
     cn = jnp.asarray(CN.astype(np.float32))
     wr, wi = (jnp.asarray(m) for m in _dft72())
-    wd = jnp.asarray(_deratematch_mat(m_bit))
+    wd_np = np.asarray(_deratematch_mat(m_bit))
+    wd = jnp.asarray(wd_np)
+    # Row-permuted deratematch matrix: its matmul output lands DIRECTLY
+    # in the Viterbi kernel's time-major tile layout (chunk-major rows
+    # ti*3 + coded_bit — see viterbi_pallas.lte_conv_decode_pallas_tl),
+    # so the decode stage needs zero relayouts between the LLR matmul
+    # and the trellis kernel (the (B, 3, 40) moveaxis/transpose chain
+    # around the kernel measured ~0.8 ms at the MIB batch).
+    perm = np.empty(120, np.int64)
+    for r_ in range(120):
+        chunk, pos = divmod(r_, 12)
+        ti, code = divmod(pos, 3)
+        perm[r_] = code * 40 + (chunk * 4 + ti)
+    wd_k = jnp.asarray(wd_np[perm])
     crc_m = jnp.asarray(_crc16_mat())
     crc_masks = jnp.asarray(_crc_masks())
     n_slot = n_ofdm // n_symb_dl
@@ -894,25 +907,41 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
             2.0 * np.sqrt(2.0).astype(np.float32) * syms[..., 1] / np_sym,
         ], -1).reshape(syms.shape[0], 4, 3, m_bit)
         llr = llr * scr_sign[:, None, None, :]
-        d_llr = jnp.einsum("ce,bgpe->bgpc", wd, llr).reshape(
-            llr.shape[0], 4, 3, 3, 40)
-        if stage == "llr":
-            return _cut(d_llr)
 
         # ---- tail-biting Viterbi (batched) + CRC16 with port masks.
         # use_pallas routes to the VMEM-resident trellis kernel
         # (models/viterbi_pallas.py, bit-identical decodes) — the XLA
         # joint-metric pass round-trips ~25 MB of HBM per trellis step
-        # at this batch.
-        flat = d_llr.reshape(-1, 3, 40)
+        # at this batch. The deratematch matmul feeds the kernel's
+        # time-major tile layout DIRECTLY (row-permuted wd_k constant),
+        # with the (B, guess, port) axes flattened onto the 128-lanes.
+        Bq_ = llr.shape[0]
         if use_pallas:
             from lte_cell_scanner_tpu.models.viterbi_pallas import (
-                lte_conv_decode_pallas)
+                lte_conv_decode_pallas_tl)
 
-            bits = lte_conv_decode_pallas(flat, interpret=interpret)
+            llr_tl = jnp.einsum("ce,bgpe->cbgp", wd_k, llr)  # (120,B,4,3)
+            if stage == "llr":
+                return _cut(llr_tl)
+            Lq = Bq_ * 12
+            Lp = -(-Lq // 128) * 128
+            llr_tl = llr_tl.reshape(10, 12, Lq)
+            if Lp != Lq:
+                llr_tl = jnp.concatenate(
+                    [llr_tl, jnp.zeros((10, 12, Lp - Lq), jnp.float32)],
+                    axis=2)
+            bits_tl = lte_conv_decode_pallas_tl(
+                llr_tl, interpret=interpret)             # (40, Lp)
+            bits = jnp.transpose(bits_tl[:, :Lq]).reshape(
+                Bq_, 4, 3, 40).astype(jnp.int32)
         else:
+            d_llr = jnp.einsum("ce,bgpe->bgpc", wd, llr).reshape(
+                Bq_, 4, 3, 3, 40)
+            if stage == "llr":
+                return _cut(d_llr)
+            flat = d_llr.reshape(-1, 3, 40)
             bits = jax.vmap(_decode_one)(flat.astype(jnp.float32))
-        bits = bits.reshape(llr.shape[0], 4, 3, 40)
+            bits = bits.reshape(Bq_, 4, 3, 40)
         if stage == "vit":
             return _cut(bits)
         crc_est = (bits[..., :24] @ crc_m) % 2           # (B, 4, 3, 16)
