@@ -15,11 +15,12 @@ program runs EVERY surviving candidate of a capture:
   other rows (PCFICH/PDSCH work) get the full 854-row grid from
   :func:`extract_tfg_batch` (same program, full row set);
 - superfine FOE/TOE and the grid compensations are batched RS gathers;
-- channel estimation uses the separable freq-then-time linear
-  interpolator (ce_interp_freq_time — the reference documents all three
-  interpolators as equivalent, src/searcher.cpp:1472-1475), expressed as
-  two constant matmuls; the hex interpolator stays available on the host
-  path for exact reference parity;
+- channel estimation offers both the separable freq-then-time linear
+  interpolator (ce_interp_freq_time, two constant matmuls — the default)
+  and the reference's enabled hex (Delaunay) interpolator
+  (src/searcher.cpp:1223-1362) as six constant per-shift-config linear
+  maps picked by a one-hot contraction (_hex_interp_tabs; the reference
+  documents the interpolators as equivalent, src/searcher.cpp:1472-1475);
 - the 4 frame-timing x {1,2,4}-port blind MIB search runs all 12
   hypotheses in parallel: SFBC compensation, QPSK LLRs, descrambling and
   de-ratematching are vector math, the tail-biting Viterbi is the
@@ -121,6 +122,75 @@ def _time_interp_mat(n_symb_dl: int, n_ofdm: int, port_class: int):
         basis[i] = 1.0
         m[:, i] = interp1(rs_set, basis, tq)
     return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=16)
+def _hex_interp_tabs(n_symb_dl: int, n_ofdm: int, rows_sel: tuple,
+                     port_class: int):
+    """Constant tables for the DEVICE hex (Delaunay) interpolator.
+
+    The reference's enabled interpolator sweeps triangle strips between
+    adjacent RS rows (src/searcher.cpp:1223-1362); ops/chanest.py shows
+    each strip is a fixed LINEAR map of the two rows' 2x12 filtered CE
+    values for a given lattice geometry, and the lattice is fully
+    determined by the FIRST RS row's comb shift m — the second row's is
+    always (m + 3) % 6, because the v-shift table
+    (src/lte_lib.cpp:327-351) staggers both row classes of every port by
+    3. So the whole interpolation, restricted to the ``rows_sel`` rows
+    the MIB chain consumes, collapses to SIX constant (n_sel, 72, 24)
+    maps picked per cell by a one-hot contraction:
+
+        out[b, j] = tabs[m_b, j] @ concat(ce_filt[b, pair_idx[j]],
+                                          ce_filt[b, pair_idx[j] + 1])
+
+    Returns (tabs (6, n_sel, 72, 24) float64, pair_idx (n_sel,) int32).
+    """
+    from lte_cell_scanner_tpu.ops.chanest import (_hex_extend,
+                                                  _hex_pair_map)
+
+    n_slot = n_ofdm // n_symb_dl
+    rows0 = np.arange(n_slot) * n_symb_dl
+    if port_class == 0:
+        rs_set = np.sort(np.concatenate([rows0, rows0 + n_symb_dl - 3]))
+    else:
+        rs_set = rows0 + 1
+    n_sel = len(rows_sel)
+    tabs = np.zeros((6, n_sel, 72, 24), np.float64)
+    pair_idx = np.zeros(n_sel, np.int32)
+    xq = np.arange(72, dtype=np.float64)
+    for m in range(6):
+        shift = (m, (m + 3) % 6)
+        # Rows at/before the first RS row use its 1-D hex-extended
+        # interpolation (host ce_interp_hex's t == 0 branch).
+        top0 = np.zeros((72, 12))
+        for i in range(12):
+            basis = np.zeros(12)
+            basis[i] = 1.0
+            xs, vs = _hex_extend(
+                np.arange(shift[0], 72, 6, dtype=np.float64), basis)
+            top0[:, i] = interp1(xs, vs, xq)
+        for j, r in enumerate(rows_sel):
+            if r <= rs_set[0]:
+                pair_idx[j] = 0
+                tabs[m, j, :, :12] = top0
+                continue
+            if r > rs_set[-1]:
+                # Rows past the last RS row copy it (which the host
+                # fills from the LAST strip's bottom edge).
+                t = len(rs_set) - 2
+                r_eff = int(rs_set[-1])
+            else:
+                # rs_set[t] < r <= rs_set[t + 1]  ->  strip t.
+                t = int(np.searchsorted(rs_set, r)) - 1
+                r_eff = int(r)
+            top_shift = shift[1] if (t & 1) else shift[0]
+            bot_shift = shift[0] if (t & 1) else shift[1]
+            spacing = int(rs_set[t + 1] - rs_set[t])
+            w = _hex_pair_map(top_shift, bot_shift, spacing)
+            off = r_eff - int(rs_set[t]) - 1
+            pair_idx[j] = t
+            tabs[m, j] = w[off * 72:(off + 1) * 72]
+    return tabs, pair_idx
 
 
 @functools.lru_cache(maxsize=8)
@@ -491,11 +561,17 @@ def _rs_tile(rs_conj, sym_class, n_slot):
 
 
 def _chan_est_dev(blk0, blk1, blk2, rs_conj, shifts, n_symb_dl, n_ofdm,
-                  rows_sel):
-    """Batched 4-port channel estimation (freq_time interpolator),
-    evaluated ONLY at the ``rows_sel`` static OFDM rows (the 7x4 PBCH
-    symbol rows — the only rows the MIB decode consumes; the host path
-    in ops/chanest.py keeps the full-grid reference implementation).
+                  rows_sel, interp="freq_time"):
+    """Batched 4-port channel estimation, evaluated ONLY at the
+    ``rows_sel`` static OFDM rows (the 7x4 PBCH symbol rows — the only
+    rows the MIB decode consumes; the host path in ops/chanest.py keeps
+    the full-grid reference implementation).
+
+    ``interp``: "freq_time" (separable linear, two constant matmuls) or
+    "hex" (the reference's enabled Delaunay interpolator,
+    src/searcher.cpp:1223-1362, as six constant per-shift-config linear
+    maps — see _hex_interp_tabs). The reference documents the two as
+    equivalent (src/searcher.cpp:1472-1475).
 
     blk0/blk1/blk2: (B, n_slot, 72, 2) — the compact grid's RS row
     blocks (per-slot sym 0, sym n_symb_dl-3, sym 1; see
@@ -512,6 +588,9 @@ def _chan_est_dev(blk0, blk1, blk2, rs_conj, shifts, n_symb_dl, n_ofdm,
     t23 = _time_interp_mat(n_symb_dl, n_ofdm, 1)[np.asarray(rows_sel)]
     t01_e, t01_o = jnp.asarray(t01[:, 0::2]), jnp.asarray(t01[:, 1::2])
     t23_e, t23_o = jnp.asarray(t23[:, 0::2]), jnp.asarray(t23[:, 1::2])
+    if interp == "hex":
+        hex01 = _hex_interp_tabs(n_symb_dl, n_ofdm, tuple(rows_sel), 0)
+        hex23 = _hex_interp_tabs(n_symb_dl, n_ofdm, tuple(rows_sel), 1)
 
     def filter_rows(ce_raw, parity_lower):
         """ce_raw (B, R, 12, 2); parity_lower (B, R) 1.0 where the row's
@@ -572,6 +651,24 @@ def _chan_est_dev(blk0, blk1, blk2, rs_conj, shifts, n_symb_dl, n_ofdm,
         ce_filt = filter_rows(ce_raw, parity_lower)
         np_est = jnp.mean(_cabs2(ce_filt - ce_raw), axis=(1, 2))
 
+        if interp == "hex":
+            # Hex: each consumed row is one 72x24 map of the two RS rows
+            # bracketing it; the map depends only on the cell's first
+            # comb shift (6 configs) — a one-hot pick of a constant
+            # (6, n_sel, 72, 24) table, then one batched contraction.
+            tabs, pidx = hex01 if port <= 1 else hex23
+            tabs = jnp.asarray(tabs.astype(np.float32))
+            r = ce_filt.shape[1]
+            vp = jnp.concatenate(
+                [ce_filt[:, pidx],
+                 ce_filt[:, np.minimum(pidx + 1, r - 1)]],
+                axis=2)                                # (B, n_sel, 24, 2)
+            oh = (shifts[:, port, 0][:, None] ==
+                  jnp.arange(6, dtype=shifts.dtype)).astype(tfg.dtype)
+            ce_tfg = jnp.einsum("bc,cjki,bjip->bjkp", oh, tabs, vp)
+            ce_out.append(ce_tfg)
+            np_out.append(np_est)
+            continue
         # Frequency then time interpolation, per parity group: the even
         # rows all share one per-cell comb shift and the odd rows the
         # other, so each group is ONE batched (72x12)@(12xR) matmul and
@@ -641,7 +738,8 @@ def _sfbc_dev(pbch_sym, pbch_ce, np_v):
 def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
                       stage: str = None, use_pallas: bool = False,
                       interpret: bool = False, full_grid: bool = False,
-                      stage_raw: bool = False):
+                      stage_raw: bool = False,
+                      interp: str = "freq_time"):
     """Compile-cached device program for one CP geometry.
 
     ``stage`` (instrumentation only — tools/bench_decode.py): cut the
@@ -870,7 +968,7 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
         # ---- channel estimation, 4 ports, at the 28 PBCH rows only.
         ce, np_v = _chan_est_dev(tfg_c[:, :o1], tfg_c[:, o1:o2],
                                  tfg_c[:, o2:o3], rs_conj, shifts,
-                                 n_symb_dl, n_ofdm, rows_sel)
+                                 n_symb_dl, n_ofdm, rows_sel, interp)
         if stage == "chanest":
             return _cut(ce, np_v)
 
@@ -980,10 +1078,10 @@ def _build_mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
 def _mib_device(n_symb_dl: int, n_ofdm: int, m_bit: int,
                 stage: str = None, use_pallas: bool = False,
                 interpret: bool = False, full_grid: bool = False,
-                stage_raw: bool = False):
+                stage_raw: bool = False, interp: str = "freq_time"):
     return _build_mib_device(n_symb_dl, n_ofdm, m_bit, stage,
                              use_pallas, interpret, full_grid,
-                             stage_raw)
+                             stage_raw, interp)
 
 
 def _pallas_default() -> bool:
@@ -1030,12 +1128,16 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
                      fc_programmed: float, fs_programmed: float,
                      cap_dev=None, n_cap: int = None,
                      cap_bases: Sequence[int] = None,
-                     defer: bool = False):
+                     defer: bool = False, interp: str = "freq_time"):
     """Device-batched extract_tfg + tfoec + chan_est + blind MIB decode.
 
     ``cells`` must share one cp_type (bucket by CP before calling).
     ``cap_dev``/``n_cap``/``cap_bases`` as in sync_jax.sss_foe_batch.
     Returns updated Cell records; failures keep n_rb_dl == -1.
+    ``interp``: channel-estimate interpolator — "freq_time" (default) or
+    "hex" (the reference's enabled one; documented equivalent,
+    src/searcher.cpp:1472-1475). "2stage" is host-only and maps to
+    "freq_time" here.
 
     ``defer=True`` returns a :class:`MibPending` instead, with the D2H
     copy started asynchronously — a pipelined sweep finishes it with
@@ -1054,7 +1156,8 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
     plan = mib_plan(cells, n_cap, fc_requested, fc_programmed,
                     fs_programmed, cap_bases=cap_bases)
     run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
-                      use_pallas=_pallas_default())
+                      use_pallas=_pallas_default(),
+                      interp="hex" if interp == "hex" else "freq_time")
     rs_tab, shifts_tab, scr_tab = _dev_cell_tables(cells[0].cp_type)
     plan_u8, plan_f32 = _pack_plan(plan)
     out = run(cap_dev, plan_u8, plan_f32, rs_tab, shifts_tab, scr_tab)

@@ -133,9 +133,10 @@ def cell_search(
         # MIB decode with batched Viterbi) runs as two fixed-shape device
         # programs over ALL candidates at once; the host only does the
         # float64 window planning and the final MIB unpack. The device
-        # channel estimator uses the freq_time interpolator (documented
-        # equivalent, src/searcher.cpp:1472-1475) regardless of
-        # ``interp``, which only selects the host path's interpolator.
+        # channel estimator honors ``interp`` for "hex" (the reference's
+        # enabled interpolator) and "freq_time"; "2stage" is host-only
+        # and runs as freq_time on device (all three are documented
+        # equivalent, src/searcher.cpp:1472-1475).
         import jax.numpy as jnp
 
         from lte_cell_scanner_tpu.ops.mib_jax import decode_mib_batch
@@ -157,7 +158,7 @@ def cell_search(
                 continue
             for cell in decode_mib_batch(group, capbuf, fc_requested,
                                          fc_programmed, fs_programmed,
-                                         cap_dev=cap_dev):
+                                         cap_dev=cap_dev, interp=interp):
                 if cell.n_rb_dl < 0:
                     if verbose >= 2:
                         print("    peak failed MIB decode")

@@ -133,6 +133,61 @@ def test_mib_pallas_fused_extract_matches_xla(real_peaks):
         assert abs(a.freq_superfine - b.freq_superfine) < 0.5
 
 
+def test_hex_interp_tabs_match_host():
+    """The device hex-interpolator tables (mib_jax._hex_interp_tabs)
+    reproduce the host Delaunay interpolator (chanest.ce_interp_hex,
+    reference src/searcher.cpp:1223-1362) EXACTLY at the consumed rows,
+    for both CP geometries, both port classes and all 6 shift configs."""
+    from lte_cell_scanner_tpu.ops.chanest import ce_interp_hex
+    from lte_cell_scanner_tpu.ops.mib_jax import _hex_interp_tabs
+
+    rng = np.random.default_rng(0)
+    for n_symb_dl in (7, 6):
+        n_ofdm = (854 if n_symb_dl == 7 else 732)
+        n_slot = n_ofdm // n_symb_dl
+        stride = 10 * 2 * n_symb_dl
+        rows_sel = tuple(f * stride + n_symb_dl + s
+                         for f in range(7) for s in range(4))
+        rows0 = np.arange(n_slot) * n_symb_dl
+        for pc, rs_set in ((0, np.sort(np.concatenate(
+                [rows0, rows0 + n_symb_dl - 3]))), (1, rows0 + 1)):
+            tabs, pair = _hex_interp_tabs(n_symb_dl, n_ofdm, rows_sel, pc)
+            r_n = len(rs_set)
+            for m in range(6):
+                cf = rng.normal(size=(r_n, 12)) \
+                    + 1j * rng.normal(size=(r_n, 12))
+                host = ce_interp_hex(
+                    cf, np.array([m, (m + 3) % 6]), n_ofdm, rs_set)
+                vp = np.concatenate(
+                    [cf[pair], cf[np.minimum(pair + 1, r_n - 1)]], axis=1)
+                dev = np.einsum("jki,ji->jk", tabs[m], vp)
+                np.testing.assert_allclose(
+                    dev, host[list(rows_sel)], rtol=0, atol=1e-12)
+
+
+def test_mib_hex_interp_device(real_peaks):
+    """decode_mib_batch(interp="hex") — the reference's ENABLED
+    interpolator on device — decodes the same cells as the host hex
+    path (ops/pbch.decode_mib default) on the reference capture."""
+    cap, fc, peaks = real_peaks
+    synced = sss_foe_batch(peaks, cap, fc, fc, 1.92e6, THRESH2_N_SIGMA)
+    alive = [c for c in synced if c.n_id_1 >= 0]
+    got = decode_mib_batch(alive, cap, fc, fc, 1.92e6, interp="hex")
+    assert len(got) == len(alive)
+    for g, c in zip(got, alive):
+        h = dataclasses.replace(c)
+        tfg, ts = extract_tfg(h, cap, fc, fc, 1.92e6)
+        rs_dl = RSDL(h.n_id_cell(), 6, h.cp_type)
+        h, tfg_comp, _ = tfoec(h, tfg, ts, fc, fc, rs_dl)
+        h = decode_mib(h, tfg_comp, rs_dl, interp="hex")
+        assert g.n_rb_dl == h.n_rb_dl == 50
+        assert g.n_ports == h.n_ports == 2
+        assert g.sfn == h.sfn
+        assert g.phich_duration == h.phich_duration
+        assert g.phich_resource == h.phich_resource
+        assert abs(g.freq_superfine - h.freq_superfine) < 0.5
+
+
 def test_mib_plan_link_compression(real_peaks):
     """The link-compressed MibPlan round-trips: the u8 deltas rebuild
     the host's f64-rounded integer starts EXACTLY, the i16 fixed-point
