@@ -698,6 +698,12 @@ def main():
             res[f"{key}_attempt_medians_ms"] = [
                 round(x["median_ms"], 2) for x in attempts[name]]
             res[f"{key}_telemetry"] = a["telemetry"]
+            if a["telemetry"] and a["telemetry"].get("upload_floor_ms"):
+                # Median over the hour's sustained byte floor: the
+                # schedule-efficiency number that stays comparable
+                # across link states (1.0 = the wire rate itself).
+                res[f"{key}_floor_ratio"] = round(
+                    a["median_ms"] / a["telemetry"]["upload_floor_ms"], 2)
             if flagged(name):
                 res[f"{key}_stall_suspected"] = True
             else:
