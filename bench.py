@@ -473,7 +473,12 @@ def main():
             mib_prev = None     # MIB pendings awaiting collection
             last = None
             fut = None
-            probe_fut = None    # upload-landed timestamp future
+            probe_fut = None     # upload-landed timestamp future
+            probe_pending = []   # (future, t_fetch0) pairs, resolved
+                                 # OUTSIDE the stamped region — joining
+                                 # the probe inside the fetch phase
+                                 # serialized up to ~1 RTT of pure
+                                 # instrumentation into every sample
 
             def probe_landed(part):
                 """8-byte fetch of the upload's last chunk: completes
@@ -493,6 +498,7 @@ def main():
                     # the profile and the sample clock.
                     PROF.clear()
                     PHASE.clear()
+                    probe_pending.clear()
                     t_steady = time.time()
                 # ---- fetch phase (link free of NEW uploads; the
                 # PREVIOUS upload may still be in flight — measured by
@@ -530,10 +536,14 @@ def main():
                     sync_prev = None
                 done = {k: f.result() for k, f in jobs.items()}
                 if probe_fut is not None:
-                    landed = probe_fut.result()
+                    # Do NOT block on the probe here: its only purpose
+                    # is attribution (how long the previous upload was
+                    # still in flight when this fetch phase started),
+                    # and its completion timestamp is the same whether
+                    # joined now or later. Resolve at the snapshot,
+                    # outside the stamped region.
+                    probe_pending.append((probe_fut, t_fetch0))
                     probe_fut = None
-                    PROF["upload_inflight_at_fetch"] += max(
-                        0.0, landed - t_fetch0)
                 PHASE["fetch_phase"] += time.time() - t_fetch0
                 tables = done.get("tables_fetch")
                 if "mib_fetch" in done:
@@ -594,7 +604,14 @@ def main():
                     # stamped iterations, so the exclusive phase walls
                     # sum to the mean (the trailing unstamped iteration
                     # keeps accumulating into the live dicts, but not
-                    # into these).
+                    # into these). The probe joins land here — after
+                    # the stamp, so the blocking cannot perturb any
+                    # sample; the pairs cover the same REPS fetch
+                    # phases the old in-phase join covered.
+                    for pf, pt0 in probe_pending:
+                        PROF["upload_inflight_at_fetch"] += max(
+                            0.0, pf.result() - pt0)
+                    probe_pending.clear()
                     prof_snap = dict(PROF)
                     phase_snap = dict(PHASE)
             # Steady-state per-batch samples only: iterations

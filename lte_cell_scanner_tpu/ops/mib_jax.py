@@ -1124,6 +1124,19 @@ class MibPending:
     cells: List[Cell]
 
 
+def _cap_to_dev(capbuf, cap_dev, n_cap):
+    """Normalize (capbuf | cap_dev) into the (n, 2) f32 device planes +
+    per-capture sample count shared by the batched device entry points."""
+    if cap_dev is None:
+        capbuf = np.asarray(capbuf)
+        cap_dev = jnp.asarray(
+            np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
+        n_cap = len(capbuf)
+    elif n_cap is None:
+        n_cap = cap_dev.shape[0]
+    return cap_dev, n_cap
+
+
 def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
                      fc_programmed: float, fs_programmed: float,
                      cap_dev=None, n_cap: int = None,
@@ -1146,13 +1159,7 @@ def decode_mib_batch(cells: List[Cell], capbuf, fc_requested: float,
     """
     if not cells:
         return MibPending(None, None, []) if defer else []
-    if cap_dev is None:
-        capbuf = np.asarray(capbuf)
-        cap_dev = jnp.asarray(
-            np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
-        n_cap = len(capbuf)
-    elif n_cap is None:
-        n_cap = cap_dev.shape[0]
+    cap_dev, n_cap = _cap_to_dev(capbuf, cap_dev, n_cap)
     plan = mib_plan(cells, n_cap, fc_requested, fc_programmed,
                     fs_programmed, cap_bases=cap_bases)
     run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
@@ -1186,19 +1193,21 @@ def extract_tfg_batch(cells: List[Cell], capbuf, fc_requested: float,
 
     Returns (tfg (B, n_ofdm, 72) complex64, tfg_timestamp (B, n_ofdm)
     f64, ok (B,) bool) — rows of cells whose grid exceeds the capture
-    are flagged ok=False (host contract: MIB failure)."""
+    are flagged ok=False (host contract: MIB failure).
+
+    Unlike the single-cell host path (ops/tfg.extract_tfg derives
+    k_factor from its fc/fs ARGUMENTS), the batch paths take fc/fs per
+    CELL record — a sweep batch mixes carriers, so one scalar argument
+    cannot cover the batch. The fc/fs parameters are accepted only for
+    signature symmetry and ignored, exactly as in mib_plan /
+    decode_mib_batch; callers must populate each Cell's
+    fc_requested/fc_programmed/fs_programmed (cell_search does)."""
+    del fc_requested, fc_programmed, fs_programmed  # per-cell (mib_plan)
     if not cells:
         return (np.zeros((0, 0, 72), np.complex64),
                 np.zeros((0, 0)), np.zeros(0, bool))
-    if cap_dev is None:
-        capbuf = np.asarray(capbuf)
-        cap_dev = jnp.asarray(
-            np.stack([capbuf.real, capbuf.imag], -1).astype(np.float32))
-        n_cap = len(capbuf)
-    elif n_cap is None:
-        n_cap = cap_dev.shape[0]
-    plan = mib_plan(cells, n_cap, fc_requested, fc_programmed,
-                    fs_programmed, cap_bases=cap_bases)
+    cap_dev, n_cap = _cap_to_dev(capbuf, cap_dev, n_cap)
+    plan = mib_plan(cells, n_cap, 0.0, 0.0, 0.0, cap_bases=cap_bases)
     run = _mib_device(plan.n_symb_dl, plan.n_ofdm, plan.m_bit,
                       stage="tfg", use_pallas=_pallas_default(),
                       full_grid=True, stage_raw=True)
@@ -1207,10 +1216,9 @@ def extract_tfg_batch(cells: List[Cell], capbuf, fc_requested: float,
     out = np.asarray(run(cap_dev, plan_u8, plan_f32, rs_tab, shifts_tab,
                          scr_tab))[:len(cells)]       # (B, n_ofdm, 72, 2)
     tfg = out[..., 0] + 1j * out[..., 1]
-    # Host-f64 timestamps (the same contract as ops/tfg.extract_tfg's
-    # second return; single-sourced in ops/tfg.symbol_timestamps_batch).
-    from lte_cell_scanner_tpu.ops.tfg import symbol_timestamps_batch
-
+    # Host-f64 timestamps (the same quantity as ops/tfg.extract_tfg's
+    # second return; single-sourced in ops/tfg.symbol_timestamps_batch,
+    # with fc/fs read per cell as documented above).
     k = np.array([(c.fc_requested - c.freq_fine) / c.fc_programmed
                   for c in cells])
     ts = symbol_timestamps_batch(

@@ -20,7 +20,7 @@ import dataclasses
 import numpy as np
 
 
-def check_pipelined_sweep_multidevice(n_devices: int, n_sweep: int = 8,
+def check_pipelined_sweep_multidevice(n_devices: int, n_sweep: int = None,
                                       verbose: bool = False) -> int:
     """Run the production pipelined fc-sweep on an ``n_devices``-wide
     ``cap`` mesh and assert the decoded cells are IDENTICAL, field for
@@ -38,6 +38,12 @@ def check_pipelined_sweep_multidevice(n_devices: int, n_sweep: int = 8,
     from lte_cell_scanner_tpu.search.pipeline import pipelined_search_sweep
 
     assert len(jax.devices()) >= n_devices, "not enough devices"
+    if n_sweep is None:
+        # pipelined_search_sweep requires batch % cap-mesh-axis == 0;
+        # default to the smallest multiple of n_devices >= 8 so the
+        # check runs at ANY device count, not just divisors of 8.
+        n_sweep = max(8, -(-8 // n_devices) * n_devices)
+    assert n_sweep % n_devices == 0, "n_sweep must divide over the mesh"
     # Two distinct planted cells alternating across the sweep, offsets
     # inside a small 5-hypothesis grid (decode load on every capture).
     cap_a = synthetic_capture(n_id_1=90, n_id_2=1, snr_db=15,
@@ -93,7 +99,23 @@ def _shard_cells_axis(args, leads, mesh):
     return out
 
 
-def check_tracker_cells_sharded(n_devices: int, cells: int = 16,
+def _mesh_divisible_cells(n_devices: int) -> int:
+    """Smallest multiple of ``n_devices`` whose padded cell bucket
+    (batch_runtime._bucket(c, lo=2), the engine's jit-cache axis) is
+    also divisible by ``n_devices`` — the condition the cells-axis
+    sharding needs. Buckets step ~1.25x on multiples of 4, so a hit
+    always lands within a few steps (n=3 -> 9/12, n=5 -> 20/20,
+    n=7 -> 21/28, n=16 -> 16/16)."""
+    from lte_cell_scanner_tpu.tracker.batch_runtime import _bucket
+
+    c = n_devices
+    while _bucket(c, lo=2) % n_devices:
+        c += n_devices
+        assert c <= 64 * n_devices, "no mesh-divisible cell bucket found"
+    return c
+
+
+def check_tracker_cells_sharded(n_devices: int, cells: int = None,
                                 verbose: bool = False) -> dict:
     """Run one REAL batched-tracker engine cycle's demod + stats device
     programs with the cell axis sharded over an ``n_devices`` 'cells'
@@ -114,6 +136,11 @@ def check_tracker_cells_sharded(n_devices: int, cells: int = 16,
     from lte_cell_scanner_tpu.tracker.state import GlobalState, TrackedCell
 
     assert len(jax.devices()) >= n_devices, "not enough devices"
+    if cells is None:
+        from lte_cell_scanner_tpu.tracker.batch_runtime import _bucket
+        cells = 2 * n_devices                 # >= 2 cells per shard
+        if _bucket(cells, lo=2) % n_devices:  # bucket not mesh-divisible
+            cells = _mesh_divisible_cells(n_devices)
     assert cells % n_devices == 0, "cells must divide over the mesh"
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("cells",))
 

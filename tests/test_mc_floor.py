@@ -9,9 +9,17 @@ full-resolution evidence; this test asserts the floor at two SNR points
 with binomial tolerance so a detection-rate regression fails CI, not
 just the artifact refresh.
 
-Tolerances: with true per-trial success p >= 0.95 (the artifact measures
-100% at both points), P[successes <= threshold] < 1e-3 under the
-binomial — the test flakes only if the floor actually regressed.
+Tolerances are anchored to the ARTIFACT's measured per-trial rates, not
+to an assumed 100%: MC_r05.json measures 50/50 at -10 dB but 43/50
+(0.86) at -12 dB — the -12 dB point sits ON the floor's shoulder by
+design, so its threshold must tolerate p ~= 0.86. With n=8 trials:
+  -10 dB, min 5:  under p >= 0.95, P[X <= 4] ~= 4e-4  (binomial)
+  -12 dB, min 3:  under p >= 0.86, P[X <= 2] ~= 2e-4
+                  (even at a conservative p = 0.80, ~1.2e-3)
+so a CI failure means the detection rate genuinely collapsed at that
+SNR (to p ~< 0.35 / ~< 0.2 respectively with ~90% power), not that the
+RNG stream shifted. The committed artifact remains the full-resolution
+(50 trials/point) evidence of the exact rates.
 """
 
 import numpy as np
@@ -21,8 +29,8 @@ from lte_cell_scanner_tpu.tools.mc_search import run_mc, wilson_lower
 
 
 @pytest.mark.parametrize("snr_db,min_detect,min_mib", [
-    (-10.0, 7, 6),   # MIB floor point: reference claims ~-10 dB
-    (-12.0, 7, 6),   # sync floor point: reference claims ~-12 dB
+    (-10.0, 5, 5),   # MIB floor point: reference claims ~-10 dB
+    (-12.0, 3, 3),   # sync floor shoulder: artifact measures p=0.86 here
 ])
 def test_detection_floor_point(snr_db, min_detect, min_mib):
     st = run_mc(8, snr_db, backend="jax", seed=int(-snr_db), ppm=10.0,
